@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (count() action — results are
+consumed, not collected to the driver, so the measurement is engine time,
+not driver materialization). One warm-up of the flagship query primes the
+JVM/codegen so numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from rws_data_ingester_spark.plans import REGISTRY  # noqa: E402
+from rws_data_ingester_spark.session import get_spark  # noqa: E402
+
+# Representative slice of SURVEY.md §2: scan/agg, star join, windows,
+# sessionization, as-of, dedup (exact + MinHash), text, similarity.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_broadcast_star",
+    "join_inner_customer_orders",
+    "join_asof_last_click",
+    "agg_rollup",
+    "agg_distinct",
+    "window_topk_per_group",
+    "window_running",
+    "session_window_islands",
+    "tumbling_window_hourly",
+    "dedup_exact_hash",
+    "dedup_minhash_candidates",
+    "text_token_topk",
+    "text_quality_scores",
+    "simsearch_topk_exact",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+
+    # Warm-up: JVM + codegen + parquet footer caches.
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,25 @@
+"""rws_data_ingester_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the capabilities of
+``arianium/rws_data_ingester`` (a cron-scheduled fetch→extract→enrich→publish
+ETL pipeline, see SURVEY.md), generalized into a full operator surface:
+
+- batch relational operators (scan/filter/join/agg/window/sort/set-ops),
+- scalar function layer (string/math/date/conditional/array/map/JSON/hash),
+- Structured-Streaming operators mirroring the reference's micro-batch
+  refresh model (SURVEY.md §2.9),
+- the reference-shaped ingest/enrich/report path (keyed HTTP fan-out,
+  HTML extraction, prompt assembly, LLM enrichment with offline stub,
+  single-file report sink — reference: src/rotterdam_swimming_advice.py),
+- LLM-data-pipeline extensions: dedup (exact/MinHash/SimHash), similarity
+  search over embeddings, text analysis, multimodal column plumbing.
+
+Everything is declarative DataFrame/SQL so Catalyst owns the physical plan;
+Python UDFs appear only where built-ins can't express the semantics, and
+then always as Arrow-vectorized pandas UDFs / mapInPandas.
+"""
+
+__version__ = "0.1.0"
+
+from rws_data_ingester_spark.session import get_spark  # noqa: F401
+from rws_data_ingester_spark.catalog import Catalog, load_table  # noqa: F401

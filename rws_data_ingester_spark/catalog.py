@@ -1,0 +1,75 @@
+"""Fixture-table catalog: parquet tables under a scale-factor directory.
+
+The synthetic star schema (region nation customer supplier part orders
+lineitem) plus events/documents/embeddings — see /root/repo/FIXTURES.md.
+Reads are plain ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning, and partition pruning for free; at 100 TB the same call
+works over a partitioned directory tree (dt=.../ partitioning) unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Dimension tables small enough to broadcast at any realistic scale factor —
+# a 100 TB fact table still joins against ~KB-MB dims; broadcasting them
+# removes the shuffle on the fact side entirely.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the footer; with nanosAsLong it arrives
+        # as epoch-nanos. Truncate to µs — the same conversion DuckDB makes
+        # reading this file, so both engines see identical timestamps.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+class Catalog:
+    """Lazy table registry over one scale-factor directory.
+
+    ``Catalog(spark, sf_dir).lineitem`` → DataFrame. Also registers temp
+    views on demand so operators can be written in SQL when clearer.
+    """
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)

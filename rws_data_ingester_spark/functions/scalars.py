@@ -1,0 +1,333 @@
+"""Scalar function layer (SURVEY.md §2.8): string / math / date /
+conditional / array / map / JSON / hash functions, exercised as oracle-
+checked queries over the fixture tables.
+
+[REF] ancestry: substring-contains (src/rotterdam_swimming_advice.py:174,
+182), strip/rstrip cleanup (:61,69,72-74), replace (:72-73,285),
+concat/join/format (:80,106,189-225), coalesce-defaults (:169,171,188),
+JSON decode with fallback (:138-141). Each appears below in columnar form.
+
+Everything here is a built-in ``pyspark.sql.functions`` call — JVM-side,
+inside whole-stage codegen, no Python in the hot path. Transcendental
+outputs (ln/exp) are rounded on both sides because JVM libm and DuckDB
+libm may differ in the last ulp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.operators.relational import ts_str
+from rws_data_ingester_spark.plans.registry import query
+
+
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name)                                   AS name_lower,
+           upper(p_brand)                                  AS brand_upper,
+           substring(p_name, 1, 10)                        AS name_prefix,
+           length(p_name)::BIGINT                          AS name_len,
+           lpad(p_partkey::VARCHAR, 10, '0')               AS key_padded,
+           replace(p_type, ' ', '_')                       AS type_snake,
+           trim(concat('  ', p_name, '  '))                AS name_trimmed,
+           rtrim(concat(p_brand, '::'), ':')               AS brand_rtrim,
+           contains(p_type, 'BRASS')                       AS is_brass,
+           instr(p_name, 'a')::BIGINT                      AS first_a,
+           regexp_extract(p_brand, '#(\\d+)', 1)           AS brand_num,
+           levenshtein(p_brand, 'Brand#11')::BIGINT        AS brand_dist,
+           split_part(p_type, ' ', 1)                      AS type_first_word
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.rtrim(F.concat(F.col("p_brand"), F.lit("::")), F.lit(":")).alias("brand_rtrim"),
+        F.col("p_type").contains("BRASS").alias("is_brass"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#11")).cast("long").alias("brand_dist"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_first_word"),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                    AS price_r1,
+           ROUND(abs(l_extendedprice - 1000.0), 4)      AS abs_diff,
+           floor(l_extendedprice)::BIGINT               AS price_floor,
+           ceil(l_extendedprice)::BIGINT                AS price_ceil,
+           ROUND(pow(l_quantity, 2), 4)                 AS qty_sq,
+           ROUND(ln(l_extendedprice), 6)                AS price_ln,
+           ROUND(exp(l_discount), 6)                    AS disc_exp,
+           ROUND(sqrt(l_extendedprice), 6)              AS price_sqrt,
+           (l_linenumber % 3)::BIGINT                   AS line_mod,
+           ROUND(greatest(l_discount, l_tax), 4)        AS max_rate,
+           ROUND(least(l_discount, l_tax), 4)           AS min_rate,
+           sign(l_extendedprice - 1000.0)::DOUBLE       AS price_sign
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 4).alias("abs_diff"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        (F.col("l_linenumber") % 3).cast("long").alias("line_mod"),
+        F.round(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 4).alias("min_rate"),
+        F.signum(F.col("l_extendedprice") - 1000.0).alias("price_sign"),
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)::BIGINT                         AS order_year,
+           month(o_orderdate)::BIGINT                        AS order_month,
+           day(o_orderdate)::BIGINT                          AS order_day,
+           dayofweek(o_orderdate)::BIGINT                    AS order_dow,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d %H:%M:%S') AS month_start,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)::BIGINT AS days_since_95,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S')    AS due_date,
+           epoch(o_orderdate)::BIGINT                        AS order_epoch,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS order_date_str
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        # Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6.
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
+        ts_str(F.date_trunc("month", F.col("o_orderdate"))).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp")
+        ).cast("long").alias("days_since_95"),
+        ts_str(F.timestamp_add("DAY", F.lit(30), F.col("o_orderdate"))).alias("due_date"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 8000 THEN 'mid'
+                ELSE 'high' END                              AS bal_tier,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'n/a') AS seg_or_na,
+           (CASE WHEN c_acctbal > 0 THEN ROUND(c_acctbal, 2) ELSE NULL END) AS pos_bal,
+           if(c_acctbal >= 0, 'credit', 'debit')             AS side
+    FROM customer
+    """,
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 8000, "mid")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("n/a")).alias(
+            "seg_or_na"
+        ),
+        F.when(F.col("c_acctbal") > 0, F.round("c_acctbal", 2)).alias("pos_bal"),
+        F.when(F.col("c_acctbal") >= 0, "credit").otherwise("debit").alias("side"),
+    )
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::BIGINT                                        AS dim,
+           ROUND(embedding[1]::DOUBLE, 6)                                AS first_elem,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 4)          AS vec_sum,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6)          AS vec_max,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 6)          AS vec_min,
+           ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS norm_sq,
+           ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'sum'), 4)
+             AS l1_norm,
+           len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT     AS n_positive
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array lambda functions (transform/filter/aggregate/zip_with) — all
+    Catalyst HigherOrderFunctions, no Python. The double-cast before any
+    arithmetic keeps Spark and DuckDB in the same float semantics."""
+    e = Catalog(spark, sf_dir).embeddings
+    dbl = F.expr("transform(embedding, x -> cast(x as double))")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_elem"),
+        F.round(F.expr("aggregate(transform(embedding, x -> cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x)"), 4).alias("vec_sum"),
+        F.round(F.array_max(dbl), 6).alias("vec_max"),
+        F.round(F.array_min(dbl), 6).alias("vec_min"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
+                " transform(embedding, x -> cast(x as double)), (a, b) -> a * b),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+            ),
+            4,
+        ).alias("norm_sq"),
+        F.round(
+            F.expr(
+                "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+            ),
+            4,
+        ).alias("l1_norm"),
+        F.size(F.expr("filter(embedding, x -> x > 0)")).cast("long").alias("n_positive"),
+    )
+
+
+@query(
+    "scalar_array_explode",
+    oracle="""
+    -- explode + re-aggregate round-trip: per-document token positions.
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, token, COUNT(*)::BIGINT AS n
+    FROM toks GROUP BY doc_id, token
+    """,
+)
+def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "scalar_map_funcs",
+    oracle="""
+    -- Oracle states expected values directly; the Spark side routes them
+    -- through MapType construction + element_at/map_keys to prove the
+    -- map operators' semantics.
+    SELECT event_id,
+           event_type                    AS type_val,
+           ROUND(value, 4)               AS value_val,
+           2::BIGINT                     AS m_size,
+           'type,value'                  AS keys_sorted
+    FROM events WHERE event_id < 100
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("value"), F.round("value", 4).cast("string"),
+    )
+    return ev.filter(F.col("event_id") < 100).select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.element_at(m, "value").cast("double").alias("value_val"),
+        F.size(m).cast("long").alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::BIGINT    AS k_val,
+           json_valid(props)                     AS is_valid
+    FROM events
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string payload extraction — the reference's JSON-decode-with-
+    fallback (:138-141) in columnar form: get_json_object plus a validity
+    probe (from_json returning null ⇒ invalid)."""
+    ev = Catalog(spark, sf_dir).events
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.from_json("props", "map<string,string>").isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "scalar_hash_funcs",
+    oracle="""
+    SELECT doc_id,
+           sha256(text)          AS text_sha256,
+           md5(text)             AS text_md5
+    FROM documents
+    """,
+)
+def scalar_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@query(
+    "scalar_coalesce_defaults",
+    oracle="""
+    -- [REF] the defensive .get(field, 'N/A') pattern
+    -- (src/rotterdam_swimming_advice.py:169,171,188): missing values
+    -- (here: manufactured via NULLIF) fall back to a default.
+    SELECT p_partkey,
+           COALESCE(NULLIF(p_brand, 'Brand#11'), 'N/A') AS brand_or_na,
+           COALESCE(try_cast(regexp_extract(p_name, '^(\\d+)', 1) AS BIGINT), -1)
+             AS leading_num
+    FROM part
+    """,
+)
+def scalar_coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).part
+    return p.select(
+        "p_partkey",
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#11")), F.lit("N/A")).alias(
+            "brand_or_na"
+        ),
+        F.coalesce(
+            F.expr(r"try_cast(regexp_extract(p_name, '^(\\d+)', 1) AS BIGINT)"),
+            F.lit(-1),
+        ).alias("leading_num"),
+    )

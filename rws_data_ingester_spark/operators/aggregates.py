@@ -1,0 +1,277 @@
+"""Aggregation operators: hash aggs, distinct, rollup/cube/grouping sets,
+filtered aggs, statistics, argmin/argmax, ordered string/array collection.
+
+Reference ancestry (SURVEY.md §2.4): the reference's only aggregations are
+string/list accumulation — ``"\\n".join(paragraphs)`` and message-line
+collection (src/rotterdam_swimming_advice.py:79-80,111-115,188-190). Those
+become ``collect_list`` + ``concat_ws`` here (order pinned by sorting, per
+the oracle rules). Everything numeric is [EXT].
+
+Scale notes: every groupBy below aggregates with map-side partial
+aggregation (Spark's HashAggregate partial→final), so the shuffle carries
+one row per (partition × group), not per input row. Grouping keys are
+low-cardinality; no skew handling needed. For high-cardinality keys at
+100 TB, AQE coalescing + the same plan still hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+
+@query(
+    "agg_basic",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*)::BIGINT AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey)::BIGINT AS n_parts,
+           COUNT(DISTINCT l_suppkey)::BIGINT AS n_supps,
+           COUNT(*)::BIGINT AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "agg_approx_distinct_bounds",
+    oracle="""
+    -- The oracle checks the *contract* of approx_count_distinct (default
+    -- rsd 5%): the Spark side computes |approx-exact|/exact <= 0.15 as a
+    -- boolean; the oracle asserts it must be TRUE for every group.
+    SELECT l_returnflag, TRUE AS within_bounds FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx distinct — the 100 TB substitute for exact
+    count-distinct (constant memory per group vs a full shuffle of keys)."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.abs(F.approx_count_distinct("l_partkey") - F.countDistinct("l_partkey"))
+            / F.countDistinct("l_partkey")
+            <= 0.15
+        ).alias("within_bounds")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)::BIGINT AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-passthrough path: the engine accepts raw SQL over the registered
+    catalog views (Catalyst produces the identical plan either way)."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_filtered",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS n_open,
+           ROUND(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0), 2) AS sum_finished,
+           ROUND(COALESCE(AVG(o_totalprice) FILTER (WHERE o_totalprice > 100000), 0.0), 4) AS avg_big
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), F.lit(0.0)), 2
+        ).alias("sum_finished"),
+        F.round(
+            F.coalesce(F.avg(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))), F.lit(0.0)), 4
+        ).alias("avg_big"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+           ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
+           ROUND(MEDIAN(c_acctbal), 4) AS med_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics (percentile/median) require a per-group sort;
+    at 100 TB prefer percentile_approx (see agg_approx_percentile)."""
+    c = Catalog(spark, sf_dir).customer
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.round(F.median("c_acctbal"), 4).alias("med_bal"),
+        F.round(F.percentile("c_acctbal", 0.9), 4).alias("p90_bal"),
+    )
+
+
+@query(
+    "agg_approx_percentile_bounds",
+    oracle="""
+    -- Contract check for percentile_approx: approx p50 must land within
+    -- the exact p40..p60 envelope per group (TRUE for every group).
+    SELECT l_returnflag, TRUE AS within_bounds FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000)
+        .between(F.percentile("l_extendedprice", 0.4), F.percentile("l_extendedprice", 0.6))
+        .alias("within_bounds")
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_custkey,
+           MAX_BY(o_orderkey, o_totalprice)::BIGINT AS biggest_order,
+           MIN_BY(o_orderkey, o_totalprice)::BIGINT AS smallest_order,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "agg_string_collect",
+    oracle="""
+    SELECT n_name AS nation,
+           STRING_AGG(c_name, '|' ORDER BY c_name) AS customers,
+           COUNT(*)::BIGINT AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's '\\n'.join accumulation (SURVEY §2.4 [REF]) as a
+    distributed op: collect_list is unordered across partitions, so the
+    order is pinned by array_sort before joining — exactly the rule the
+    oracle contract demands for order-sensitive aggregates."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("customers"),
+            F.count("*").alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "agg_collect_set",
+    oracle="""
+    SELECT user_id,
+           STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS types_seen,
+           COUNT(DISTINCT event_type)::BIGINT AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

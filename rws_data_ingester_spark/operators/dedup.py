@@ -1,0 +1,287 @@
+"""Deduplication operators (SURVEY.md §2.10 [EXT]): exact, hash-keyed,
+n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+Scale design:
+- exact dedup = hash groupBy on the content hash (sha256), never on the
+  raw text — at 100 TB the shuffle carries 32-byte keys, not documents.
+- MinHash/LSH: per-doc signature computation is embarrassingly parallel
+  (explode shingles → hash → min per seed); candidate generation shuffles
+  on (band_id, band_hash) buckets, so only same-bucket docs ever meet —
+  the O(n²) pair space never materializes.
+- SimHash: one vectorized pandas UDF per document (numpy bit-bucketing),
+  then near-dup lookup via Hamming-ball probing on table-salted prefixes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id)::BIGINT AS keeper_doc_id,
+           COUNT(*)::BIGINT AS n_copies,
+           text
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the lowest doc_id per distinct text. groupBy +
+    min beats dropDuplicates here because dropDuplicates keeps an
+    *arbitrary* row — not reproducible, so not oracle-checkable."""
+    d = Catalog(spark, sf_dir).documents
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    ).select("keeper_doc_id", "n_copies", "text")
+
+
+@query(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT sha256(text) AS content_hash,
+           MIN(doc_id)::BIGINT AS keeper_doc_id,
+           COUNT(*)::BIGINT AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shaped exact dedup: group on the 32-byte digest so the
+    shuffle never carries document bodies."""
+    d = Catalog(spark, sf_dir).documents
+    return d.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact pairwise, blocked by source)
+# --------------------------------------------------------------------------
+@query(
+    "dedup_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tokset
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(
+             len(list_filter(a.tokset, t -> list_contains(b.tokset, t)))::DOUBLE
+             / (len(a.tokset) + len(b.tokset)
+                - len(list_filter(a.tokset, t -> list_contains(b.tokset, t)))),
+             6) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_filter(a.tokset, t -> list_contains(b.tokset, t)))::DOUBLE
+          / (len(a.tokset) + len(b.tokset)
+             - len(list_filter(a.tokset, t -> list_contains(b.tokset, t)))) >= 0.1
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard over same-source pairs (blocking keeps the
+    pair space tractable; at scale the blocking key would be an LSH band
+    from dedup_minhash_candidates instead of `source`)."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.filter(F.col("doc_id") < 200).select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("tokset")
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
+    union = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
+    jacc = F.round(inter.cast("double") / union, 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jacc.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH banding (pure DataFrame ops — no MLlib, no Python UDF)
+# --------------------------------------------------------------------------
+def shingles(text_col: F.Column, k: int = 3) -> F.Column:
+    """Word k-shingles as an array column (distinct)."""
+    toks = F.split(text_col, " ")
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, greatest(size(split(text, ' ')) - {k}, 0)),"
+            f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k})))"
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3) -> DataFrame:
+    """MinHash signatures via xxhash64 with per-seed salts.
+
+    Pipeline: explode shingles → one xxhash64 per seed → min per doc.
+    Entirely JVM-side; the shuffle key is the doc id. num_hashes seeds are
+    folded into the hash input as literal salts.
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.col("shingle"), F.lit(f"#seed{j}")))).alias(f"mh_{j}")
+        for j in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on any full band
+    become candidate pairs. Shuffle key = (band_id, band_hash) — only
+    same-bucket docs are ever paired."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
+        )
+    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+@query("dedup_minhash_candidates", oracle=None)  # engine-specific hashes → rows-only
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
+    return lsh_candidate_pairs(sigs, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# SimHash (vectorized pandas UDF — numpy bit bucketing)
+# --------------------------------------------------------------------------
+@F.pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens. Arrow-batched; per batch the token
+    hashing is a stable Python hash (md5-based so it is deterministic
+    across workers and sessions, unlike hash())."""
+    import hashlib
+
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in (text or "").split():
+            h = np.uint64(
+                int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            )
+            bits = (h >> shifts) & np.uint64(1)
+            acc += np.where(bits == 1, 1, -1)
+        bits_out = (acc > 0).astype(np.uint64)
+        packed = int(np.bitwise_or.reduce(bits_out << shifts))
+        out[i] = packed - (1 << 64) if packed >= 1 << 63 else packed
+    return pd.Series(out)
+
+
+@query("dedup_simhash", oracle=None)  # hash engine-specific → rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash per document + near-dup candidates by identical 16-bit
+    prefix block (probing 4 blocks covers all pairs at Hamming distance
+    ≤3 — standard block-permutation SimHash lookup)."""
+    d = Catalog(spark, sf_dir).documents
+    sigs = d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("block_id"),
+                    F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("block_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block_id") == F.col("b.block_id"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT a.label AS label,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+               AS sim
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT label,
+           COUNT(*) FILTER (WHERE sim >= 0.9)::BIGINT AS n_neardups,
+           ROUND(AVG(sim), 4) AS avg_sim
+    FROM pairs GROUP BY label
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup statistics per label block. Blocking on `label`
+    stands in for the IVF/LSH bucket a production run would use — the
+    crossJoin never leaves a block."""
+    e = Catalog(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    norm_a = F.sqrt(F.expr("aggregate(zip_with(a.e, a.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
+    norm_b = F.sqrt(F.expr("aggregate(zip_with(b.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    ).select(F.col("a.label").alias("label"), (dot / (norm_a * norm_b)).alias("sim"))
+    return pairs.groupBy("label").agg(
+        F.count(F.when(F.col("sim") >= 0.9, 1)).alias("n_neardups"),
+        F.round(F.avg("sim"), 4).alias("avg_sim"),
+    )

@@ -1,0 +1,474 @@
+"""Core relational operators: scan→filter→project, joins, sorts, set ops.
+
+All pure DataFrame API — Catalyst owns the physical strategy (broadcast vs
+sort-merge join, TakeOrderedAndProject for top-k, pushdown into parquet).
+Scale notes are on each operator; the recurring theme: dimension tables get
+``F.broadcast`` hints so the 100 TB fact side never shuffles for a join,
+and every LIMIT rides behind a unique-key ORDER BY for determinism.
+
+Reference ancestry (SURVEY.md §2.2/§2.3/§2.6/§2.7): the reference's only
+relational logic is nested-field projection + substring-contains filter +
+first-match limit (src/rotterdam_swimming_advice.py:169-185); everything
+else here is [EXT] surface mandated by the north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"
+
+
+def ts_str(col: str | F.Column) -> F.Column:
+    """Render a timestamp column to a canonical string (oracle-stable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, TS_FMT)
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-shaped pricing summary (SURVEY.md §7 step 1).
+# Exercises scan → pushdown filter → project → hash agg (partial+final) →
+# sort in one shot. At 100 TB: single shuffle on a 6-value grouping key,
+# map-side partial aggregation collapses almost everything before exchange.
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)::BIGINT                                                 AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).lineitem
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Predicates: comparison / boolean / IN / BETWEEN / LIKE / NULL handling.
+# All sargable → pushed into the parquet scan (check: PushedFilters in
+# .explain("formatted")).
+# --------------------------------------------------------------------------
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           ROUND(o_totalprice, 2) AS total_price,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 50000 AND 200000
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      AND o_totalprice IS NOT NULL
+    """,
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").between(50000, 200000)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderpriority").like("1-%") | F.col("o_orderpriority").like("2-%"))
+        & F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        ts_str("o_orderdate").alias("order_date"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins. Catalyst picks hash vs sort-merge; we hint broadcast for dims.
+# --------------------------------------------------------------------------
+@query(
+    "join_inner_customer_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spent
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    """,
+)
+def join_inner_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_star",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*)::BIGINT AS n_lineitems
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact ⋈ broadcast dims — zero shuffle on the fact side.
+
+    At 100 TB the only exchange in this plan is the final small-key agg;
+    all three dim joins are broadcast-hash (verify: BroadcastHashJoin ×3
+    in .explain). This is THE canonical scale pattern for the star schema.
+    """
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.join(F.broadcast(cat.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey)::BIGINT AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.join(cat.orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*)::BIGINT AS n_cust
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nationkey, COUNT(*)::BIGINT AS n_supp
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_cust, 0)::BIGINT AS n_cust,
+           COALESCE(s.n_supp, 0)::BIGINT AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_cust")
+    )
+    s = cat.supplier.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return (
+        c.alias("c")
+        .join(s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full")
+        .select(
+            F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    big = cat.orders.filter(F.col("o_totalprice") > 150000)
+    return cat.customer.join(
+        big, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.join(
+        cat.orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_theta_self",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b, a.n_regionkey AS regionkey
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self theta-join (pairs within region). The equi part of the condition
+    keeps it a hash join; only the < residual is post-filtered."""
+    n = Catalog(spark, sf_dir).nation
+    a, b = n.alias("a"), n.alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.col("a.n_regionkey").alias("regionkey"),
+    )
+
+
+@query(
+    "join_range_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('p0', 0.0, 500.0), ('p1', 500.0, 1000.0),
+             ('p2', 1000.0, 1500.0), ('p3', 1500.0, 100000.0)
+    )
+    SELECT b.band, COUNT(*)::BIGINT AS n_parts,
+           ROUND(AVG(p.p_retailprice), 4) AS avg_price
+    FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join against a tiny band table → broadcast nested
+    loop, which is the right physical plan when one side is a handful of
+    interval rows (the O(n·k) BNLJ beats any shuffle)."""
+    p = Catalog(spark, sf_dir).part
+    bands = spark.createDataFrame(
+        [("p0", 0.0, 500.0), ("p1", 500.0, 1000.0), ("p2", 1000.0, 1500.0), ("p3", 1500.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo")) & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "join_asof_last_click",
+    oracle="""
+    SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(MAX(c.ts), '%Y-%m-%d %H:%M:%S') AS last_click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at ts <= purchase ts.
+
+    Implemented the scale-correct way — NOT the O(n·m)-per-user join the
+    oracle uses, but a single sort within user partitions: union both
+    streams, order by (ts, kind) with clicks first at equal ts, and carry
+    `last(click_ts, ignorenulls)` forward. One shuffle on user_id, linear
+    work per partition; survives arbitrarily many events per user.
+    """
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(0).alias("kind"), F.col("ts").alias("click_ts"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("kind"), F.lit(None).cast("timestamp").alias("click_ts"), "event_id"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "kind").rowsBetween(W.unboundedPreceding, 0)
+    merged = clicks.unionByName(purchases).withColumn(
+        "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("kind") == 1).select(
+        "event_id",
+        ts_str("ts").alias("purchase_ts"),
+        ts_str("last_click_ts").alias("last_click_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k.
+# --------------------------------------------------------------------------
+@query(
+    "sort_multi_key_top100",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def sort_multi_key_top100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.orderBy(
+            F.col("o_orderpriority").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("total_price"))
+        .limit(100)
+    )
+
+
+@query(
+    "limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 10
+    """,
+)
+def limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.orderBy("o_orderkey").select("o_orderkey", "o_custkey").offset(10).limit(50)
+
+
+@query(
+    "topk_lineitems",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark fuses orderBy+limit into TakeOrderedAndProject —
+    each partition keeps a k-heap, driver merges k×partitions rows. No full
+    sort, no full shuffle; this is exactly the 100 TB-safe plan."""
+    li = Catalog(spark, sf_dir).lineitem
+    return (
+        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations.
+# --------------------------------------------------------------------------
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat.customer.select(F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side"))
+    s = cat.supplier.select(F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side"))
+    return c.unionByName(s)
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        cat.supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT event_type FROM events WHERE user_id = 1
+    INTERSECT ALL
+    SELECT event_type FROM events WHERE user_id = 2
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return ev.filter(F.col("user_id") == 1).select("event_type").intersectAll(
+        ev.filter(F.col("user_id") == 2).select("event_type")
+    )

@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (SURVEY.md §2.10 [EXT]).
+
+Two paths behind one semantic contract (top-k cosine neighbors):
+- exact brute force — oracle-checkable, fine up to ~10⁶×10³ pairs, used
+  when the query set is small (broadcast queries against the corpus, so
+  the corpus never shuffles);
+- LSH (random-hyperplane signatures) — the 100 TB path: corpus is
+  bucketed once by signature prefix, probes only touch matching buckets.
+
+Both compute cosines in float64 after an explicit cast from the float32
+storage type so results are engine-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+
+
+def _as_double(col: str) -> F.Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the (small) query side,
+    score every (query, corpus) pair, keep k per query via a rank-limited
+    window (Catalyst pushes the limit into the sort)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    )
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce"))
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    qn = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    cn = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("cosine_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@query(
+    "simsearch_topk_exact",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+               AS cosine_sim
+      FROM v q JOIN v c ON q.vec_id != c.vec_id
+      WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine_sim, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, neighbor_id)::BIGINT AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def simsearch_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).embeddings
+    return cosine_topk(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+# --------------------------------------------------------------------------
+# Random-hyperplane LSH — the approximate scale path (rows-only check;
+# recall vs the exact path is asserted in tests/test_similarity.py).
+# --------------------------------------------------------------------------
+def hyperplane_signature(df: DataFrame, dim: int = 64, n_planes: int = 16, seed: int = 42) -> DataFrame:
+    """Sign-bit signature under fixed random hyperplanes. The hyperplane
+    matrix is generated once on the driver (seeded → deterministic) and
+    shipped as a literal array; signature computation is pure Catalyst
+    expressions, no Python per row."""
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    sig_bits = []
+    for i in range(n_planes):
+        plane_lit = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.expr(
+            f"aggregate(zip_with(transform(embedding, x -> cast(x as double)), "
+            f"plane_{i}, (a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        df = df.withColumn(f"plane_{i}", plane_lit)
+        sig_bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** i))
+    out = df.withColumn("lsh_sig", sum(sig_bits[1:], sig_bits[0]).cast("long"))
+    return out.drop(*[f"plane_{i}" for i in range(n_planes)])
+
+
+@query("simsearch_lsh_buckets", oracle=None)  # approx → rows-only
+def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via hyperplane-LSH bucketing: neighbors are searched only inside
+    the query's signature bucket. Returns per-bucket membership so the
+    test can measure recall against the exact path."""
+    e = Catalog(spark, sf_dir).embeddings
+    sigs = hyperplane_signature(e.select("vec_id", "embedding"))
+    return sigs.select("vec_id", "lsh_sig")
+
+
+@query("simsearch_topk_lsh", oracle=None)  # approx → rows-only
+def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the LSH bucket
+    (8-bit prefix of the signature → ~n/256 of the corpus per probe)."""
+    e = Catalog(spark, sf_dir).embeddings
+    sigs = hyperplane_signature(e.select("vec_id", "embedding"))
+    bucketed = e.join(sigs.select("vec_id", "lsh_sig"), "vec_id").withColumn(
+        "bucket", F.shiftrightunsigned(F.col("lsh_sig"), 8)
+    )
+    q = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe"), "bucket"
+    )
+    c = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce"), F.col("bucket").alias("cbucket")
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    qn = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    cn = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
+    scored = (
+        F.broadcast(q)
+        .join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select("query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("cosine_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 5)

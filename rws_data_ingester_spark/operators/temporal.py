@@ -1,0 +1,214 @@
+"""Event-time / temporal operators — the batch formulations of the
+streaming surface (SURVEY.md §2.9), oracle-checkable against DuckDB.
+
+The genuinely streaming implementations (readStream + watermark +
+availableNow replay, mirroring the reference's cron micro-batch refresh,
+cronjob.sh:1-3 / generate.sh:11-17) live in
+``rws_data_ingester_spark.streaming.jobs``; the tests assert
+batch↔stream equivalence between the two. Here every op is expressed so
+that the SAME result is produced by the streaming job on a full replay.
+
+Scale notes: tumbling/sliding windows are plain hash aggs on a derived
+key (bounded state in streaming via watermark); sessionization is one
+shuffle on user_id + a per-partition sort — linear, no cross-user state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.operators.relational import ts_str
+from rws_data_ingester_spark.plans.registry import query
+
+
+@query(
+    "tumbling_window_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window tumbling buckets are epoch-aligned, so window.start for a
+    1-hour tumble == date_trunc('hour') — the oracle relies on that."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_counts",
+    oracle="""
+    -- Each event belongs to exactly 4 sliding windows (1h length, 15m
+    -- slide, epoch-aligned): starts floor15(ts) - k*15m for k in 0..3.
+    WITH expanded AS (
+      SELECT to_timestamp(floor(epoch(ts) / 900) * 900) - (g.k * INTERVAL 15 MINUTE)
+               AS window_start,
+             value
+      FROM events CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k) g
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM expanded GROUP BY 1
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(ts_str(F.col("w.start")).alias("window_start"), "n_events", "total_value")
+    )
+
+
+_SESSION_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*)::BIGINT AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@query("session_window_islands", oracle=_SESSION_ORACLE)
+def session_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the gaps-and-islands formulation: flag rows whose
+    gap from the previous event >= 30 min, running-sum the flags into a
+    session id, then aggregate. One shuffle on user_id; linear per user."""
+    ev = Catalog(spark, sf_dir).events
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, 0)
+    # cast("double") keeps sub-second precision (epoch seconds + fraction);
+    # cast("long") would truncate and disagree with the oracle's exact
+    # interval comparison near the 30-minute boundary.
+    gap_flag = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") >= 1800.0),
+        1,
+    ).otherwise(0)
+    sessions = ev.withColumn("new_session", gap_flag).withColumn(
+        "session_id", F.sum("new_session").over(w_run)
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            ts_str(F.min("ts")).alias("session_start"),
+            ts_str(F.timestamp_add("MINUTE", F.lit(30), F.max("ts"))).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .drop("session_id")
+    )
+
+
+@query("session_window_native", oracle=_SESSION_ORACLE)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through Spark's built-in session_window (merging
+    session aggregation) — equivalence with the islands oracle proves the
+    two formulations agree, which SURVEY §4.3(4) calls out as a risk."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            ts_str(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "dedup_first_event",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN_BY(event_id, ts)::BIGINT AS first_event_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of streaming dropDuplicates: keep the earliest row per
+    key. min_by avoids a window sort — single hash agg, scale-friendly.
+    (event ts values are unique per user in the fixtures, so min_by ties
+    cannot occur; the streaming variant lives in streaming.jobs.)"""
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        ts_str(F.min("ts")).alias("first_ts"),
+    )
+
+
+@query(
+    "watermark_cutoff",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+    FROM events
+    WHERE ts >= (SELECT MAX(ts) - INTERVAL 1 DAY FROM events)
+    """,
+)
+def watermark_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalence of a 1-day watermark: rows newer than max(ts)-1d.
+    The scalar max is computed once and broadcast into the filter."""
+    ev = Catalog(spark, sf_dir).events
+    cutoff = ev.agg(F.timestamp_add("DAY", F.lit(-1), F.max("ts")).alias("cutoff"))
+    return (
+        ev.join(F.broadcast(cutoff))
+        .filter(F.col("ts") >= F.col("cutoff"))
+        .select("event_id", ts_str("ts").alias("ts"))
+    )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           ROUND(e.value, 4) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the stream-static enrichment join (streaming variant
+    in streaming.jobs broadcasts the static dim into every micro-batch)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cat.customer), F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            F.round("value", 4).alias("value"),
+        )
+    )

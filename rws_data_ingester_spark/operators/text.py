@@ -1,0 +1,187 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2.10
+[EXT]): corpus statistics, token frequencies, quality scoring, language-ID
+heuristic, regex token counting, document fingerprinting.
+
+All the hot paths are built-in string/array functions (split, explode,
+higher-order lambdas) — JVM-side, whole-stage codegen. No Python UDF in
+anything that touches every token at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+
+@query(
+    "text_stats_by_lang",
+    oracle="""
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           ROUND(AVG(len(string_split(text, ' '))), 4) AS avg_tokens,
+           MIN(n_chars)::BIGINT AS min_chars,
+           MAX(n_chars)::BIGINT AS max_chars,
+           COUNT(DISTINCT source)::BIGINT AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "text_token_topk",
+    oracle="""
+    WITH toks AS (SELECT UNNEST(string_split(text, ' ')) AS token FROM documents)
+    SELECT token, COUNT(*)::BIGINT AS n
+    FROM toks GROUP BY token
+    ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency top-k. explode → two-phase hash agg
+    (partial per partition, final after one shuffle on token) → global
+    top-k via TakeOrderedAndProject. The classic word-count shape; at
+    100 TB the partial agg collapses each partition to its vocabulary."""
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "text_quality_scores",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')), 6) AS distinct_ratio,
+           ROUND((length(text) - length(replace(text, ' ', '')))::DOUBLE
+                 / length(text), 6) AS space_ratio,
+           ROUND(length(replace(text, ' ', ''))::DOUBLE
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_regex_tokens
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token count, lexical diversity
+    (distinct-token ratio), whitespace ratio, mean token length, and a
+    BPE-ish regex token count — the standard cheap quality filters for a
+    pretraining-data pipeline."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    n_toks = F.size(toks)
+    no_space = F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    return d.select(
+        "doc_id",
+        n_toks.cast("long").alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_toks, 6).alias("distinct_ratio"),
+        F.round(
+            (F.length("text") - F.length(no_space)).cast("double") / F.length("text"), 6
+        ).alias("space_ratio"),
+        F.round(F.length(no_space).cast("double") / n_toks, 4).alias("avg_token_len"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long").alias(
+            "n_regex_tokens"
+        ),
+    )
+
+
+# Tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic. Deterministic and SQL-expressible so the oracle can replay it.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "in"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "de", "que", "los", "las"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "you3"),
+}
+
+
+def _marker_hits_spark(lang: str) -> F.Column:
+    lst = ", ".join(f"'{w}'" for w in _LANG_MARKERS[lang])
+    return F.expr(f"size(filter(array_distinct(split(text, ' ')), t -> t in ({lst})))")
+
+
+@query(
+    "text_langid_heuristic",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(list_distinct(string_split(text, ' ')),
+                 t -> t IN ('the','and','of','to','in')))  AS hits_en,
+             len(list_filter(list_distinct(string_split(text, ' ')),
+                 t -> t IN ('le','la','et','les','des')))  AS hits_fr,
+             len(list_filter(list_distinct(string_split(text, ' ')),
+                 t -> t IN ('el','de','que','los','las'))) AS hits_es,
+             len(list_filter(list_distinct(string_split(text, ' ')),
+                 t -> t IN ('der','die','und','das','ist'))) AS hits_de,
+             len(list_filter(list_distinct(string_split(text, ' ')),
+                 t -> t IN ('de5','shi4','le5','zai4','you3'))) AS hits_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE
+             WHEN hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de
+                  AND hits_en >= hits_zh THEN 'en'
+             WHEN hits_fr >= hits_es AND hits_fr >= hits_de AND hits_fr >= hits_zh THEN 'fr'
+             WHEN hits_es >= hits_de AND hits_es >= hits_zh THEN 'es'
+             WHEN hits_de >= hits_zh THEN 'de'
+             ELSE 'zh'
+           END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with a deterministic preference order on
+    ties (en > fr > es > de > zh) so both engines agree exactly."""
+    d = Catalog(spark, sf_dir).documents
+    hits = {lang: _marker_hits_spark(lang) for lang in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["de"]) & (hits["en"] >= hits["zh"]),
+            "en",
+        )
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["zh"]), "fr")
+        .when((hits["es"] >= hits["de"]) & (hits["es"] >= hits["zh"]), "es")
+        .when(hits["de"] >= hits["zh"], "de")
+        .otherwise("zh")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+@query("text_fingerprint", oracle=None)  # xxhash64 engine-specific → rows-only
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max/count over the rolling
+    5-gram character hash sequence. xxhash64 keeps it JVM-side; the rolling
+    windows come from sequence+transform (no Python)."""
+    d = Catalog(spark, sf_dir).documents
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 4, 1)),"
+        " i -> xxhash64(substring(text, i, 5)))"
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+        F.size(grams).cast("long").alias("fp_len"),
+        F.xxhash64(F.concat_ws("|", F.transform(grams, lambda x: x.cast("string")))).alias(
+            "fingerprint"
+        ),
+    )

@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Single place that owns Spark configuration so every entry point (driver
+contract, tests, bench) runs with the same scale-oriented settings:
+
+- AQE on (runtime join-strategy switching, skew-join splitting, shuffle
+  coalescing) — the knob that makes one logical plan survive 100× data.
+- shuffle partitions sized to cores for local mode; on a real cluster this
+  would be overridden to ~2-3× total cores via ``extra_conf``.
+- Arrow enabled so pandas UDF / createDataFrame paths are vectorized.
+- session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (DuckDB timestamps are naive-UTC).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_APP_NAME = "rws_data_ingester_spark"
+
+
+def get_spark(
+    app_name: str = DEFAULT_APP_NAME,
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``
+    (falling back to ``local[*]``). On a real cluster, pass ``master=None``
+    with spark-submit owning the master and override partitioning via
+    ``extra_conf``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    shuffle_parts = cpus if cpus else str(os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
+        # so read as long and convert in the catalog (ns → µs truncation,
+        # which is exactly what DuckDB does reading the same file).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

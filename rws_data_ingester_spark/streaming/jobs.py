@@ -1,0 +1,190 @@
+"""Structured Streaming operators (SURVEY.md §2.9).
+
+The reference's streaming model is a cron-scheduled full refresh with an
+overwrite sink (cronjob.sh:1-3 → generate.sh:11-17, overwrite at
+src/rotterdam_swimming_advice.py:295). Its direct Spark analog is
+``trigger(availableNow=True)`` + idempotent ``foreachBatch`` overwrite —
+implemented here as ``scheduled_refresh``. On top of that, the [EXT]
+streaming surface: watermarked tumbling/sliding/session windows,
+streaming dedup, stream-static joins, and custom stateful processing via
+``transformWithStateInPandas``-style grouped state.
+
+Each op returns a *streaming* DataFrame built from a parquet replay of
+the events table; ``run_to_memory`` drives it with availableNow to
+completion so tests can assert batch↔stream equivalence against the
+operators in ``operators.temporal``.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ts is TIMESTAMP(NANOS) in the parquet footer → read as epoch-nanos long
+# (spark.sql.legacy.parquet.nanosAsLong) and convert to a µs timestamp.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the events parquet as a file stream (schema-explicit —
+    streaming reads never infer)."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .load(os.path.join(sf_dir, "events.parquet"))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming query to completion with availableNow (the
+    reference's full-refresh semantics) into a memory sink; returns the
+    final table as a batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def tumbling_counts_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window agg: state is bounded by the watermark —
+    windows older than max(event time) - watermark are finalized and
+    dropped, which is what makes this run forever at scale."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization with session_window — merging session
+    state per user, finalized past the watermark."""
+    ev = events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on the event key within the watermark horizon
+    (dropDuplicatesWithinWatermark bounds the dedup state — the unbounded
+    variant would grow state forever at 100 TB/day)."""
+    ev = events_stream(spark, sf_dir)
+    return ev.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(["event_id"])
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: every micro-batch joins against the static
+    customer dim (broadcast — the dim never reshuffles the stream)."""
+    ev = events_stream(spark, sf_dir)
+    customer = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(customer), F.col("user_id") == F.col("c_custkey"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("c_mktsegment").alias("segment"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful per-key operator: running per-user totals kept in
+    grouped state across micro-batches (applyInPandasWithState)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        total, count = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            count += len(pdf)
+        state.update((total, count))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_value": [round(total, 4)], "n_events": [count]}
+        )
+
+    return (
+        ev.withWatermark("ts", "1 day")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, total_value double, n_events long",
+            stateStructType="total double, count long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def scheduled_refresh(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> None:
+    """The cron-refresh analog (reference cronjob.sh/generate.sh): one
+    availableNow pass, idempotent overwrite sink via foreachBatch."""
+    agg = tumbling_counts_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

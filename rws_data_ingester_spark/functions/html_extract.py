@@ -115,7 +115,7 @@ def parse_spot_html(html: str) -> dict:
             "description": None,
             "facilities": None,
             "chart_titles": None,
-            "_corrupt_record": f"{exc}: {html[:1000]}",
+            "_corrupt_record": f"{exc}: {str(html)[:1000]}",
         }
 
 

@@ -117,8 +117,10 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8-bit prefix of the signature → ~n/256 of the corpus per probe)."""
     e = Catalog(spark, sf_dir).embeddings
     sigs = hyperplane_signature(e.select("vec_id", "embedding"))
+    # 4-bit bucket (16 buckets) — coarse enough that each probe still sees
+    # ~n/16 of the corpus; tune bits per corpus size (more data → more bits).
     bucketed = e.join(sigs.select("vec_id", "lsh_sig"), "vec_id").withColumn(
-        "bucket", F.shiftrightunsigned(F.col("lsh_sig"), 8)
+        "bucket", F.col("lsh_sig").bitwiseAND(F.lit(15))
     )
     q = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe"), "bucket"

@@ -38,13 +38,28 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _stream_source_dir(sf_dir: str) -> str:
+    """The file stream source requires a *directory*; the fixture is a
+    single parquet file. Expose it through a stable symlinked directory
+    under /tmp (read-only fixture tree must not be touched)."""
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/rws_stream_events_{tag}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events parquet as a file stream (schema-explicit —
     streaming reads never infer)."""
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")
-        .load(os.path.join(sf_dir, "events.parquet"))
+        .load(_stream_source_dir(sf_dir))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 

@@ -1,0 +1,99 @@
+"""Property tests for the approximate operators the SQL oracle can't
+check: MinHash/LSH candidate generation, SimHash, hyperplane-LSH recall
+vs the exact cosine top-k (SURVEY.md §5.2 'oracle-inexpressible ops').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash64,
+)
+from rws_data_ingester_spark.operators.similarity import cosine_topk
+from rws_data_ingester_spark.plans import REGISTRY
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 1
+        (4, "completely different words about spark distributed data processing engines"),
+    ]
+
+
+def test_minhash_identical_docs_same_signature(spark):
+    df = spark.createDataFrame(_docs(spark), "doc_id long, text string")
+    sigs = {r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+            for r in minhash_signature(df, "doc_id", "text").collect()}
+    assert sigs[1] == sigs[2], "identical docs must hash identically"
+    overlap_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    overlap_14 = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert overlap_13 > overlap_14, "near-dup must agree on more minhashes than unrelated"
+
+
+def test_lsh_candidates_contain_exact_dups(spark):
+    df = spark.createDataFrame(_docs(spark), "doc_id long, text string")
+    sigs = minhash_signature(df, "doc_id", "text")
+    pairs = {(r["id_a"], r["id_b"]) for r in lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (1, 2) in pairs, "exact duplicates must be candidates"
+    assert (1, 4) not in pairs and (2, 4) not in pairs, "unrelated docs must not bucket together"
+
+
+def test_simhash_hamming_orders_similarity(spark):
+    df = spark.createDataFrame(_docs(spark), "doc_id long, text string")
+    sigs = {r["doc_id"]: r["h"] for r in df.select("doc_id", simhash64("text").alias("h")).collect()}
+    assert sigs[1] == sigs[2]
+    ham_13 = bin((sigs[1] ^ sigs[3]) & (2**64 - 1)).count("1")
+    ham_14 = bin((sigs[1] ^ sigs[4]) & (2**64 - 1)).count("1")
+    assert ham_13 < ham_14, "near-dup must be closer in Hamming space"
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """Bucketed ANN must recover a reasonable fraction of the true top-5
+    (random 64-d embeddings are a worst case for LSH; the contract here is
+    'plumbing correct + recall not degenerate', not production recall)."""
+    exact = REGISTRY["simsearch_topk_exact"].fn(spark, SF_DIR)
+    approx = REGISTRY["simsearch_topk_lsh"].fn(spark, SF_DIR)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert approx_pairs, "LSH path returned nothing"
+    # every approx neighbor must at least be a real corpus member ranked by
+    # true cosine (cosine values are exact within the bucket)
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.05, f"degenerate recall {recall}"
+
+
+def test_cosine_topk_self_similarity_excluded(spark):
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = cosine_topk(e.filter(F.col("vec_id") == 0), e, k=3).collect()
+    assert len(out) == 3
+    assert all(r["neighbor_id"] != 0 for r in out)
+    sims = [r["cosine_sim"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_multimodal_feature_shape(spark):
+    from rws_data_ingester_spark.operators.multimodal import (
+        attach_payload,
+        decode_stub_features,
+        extract_features,
+    )
+    import pytest as _pytest
+    from rws_data_ingester_spark.operators.multimodal import decode_image
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    feats = extract_features(attach_payload(d)).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert abs(sum(r["features"]) - 1.0) < 1e-9  # normalized histogram
+        assert r["byte_len"] > 0
+    assert decode_stub_features(b"") == [0.0] * 8
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")

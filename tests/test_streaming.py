@@ -1,0 +1,84 @@
+"""Batch↔stream equivalence tests (SURVEY.md §5.2): each §2.9 streaming
+operator replayed with trigger(availableNow=True) must produce the same
+result multiset as its batch formulation in operators.temporal.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rws_data_ingester_spark.plans import REGISTRY
+from rws_data_ingester_spark.streaming import jobs
+
+from tests.conftest import SF_DIR, rows_to_multiset
+
+
+def _multiset(df):
+    return rows_to_multiset(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream_out = jobs.run_to_memory(jobs.tumbling_counts_stream(spark, SF_DIR))
+    batch_out = REGISTRY["tumbling_window_hourly"].fn(spark, SF_DIR)
+    assert _multiset(stream_out) == _multiset(batch_out)
+
+
+def test_stream_sliding_matches_batch(spark):
+    stream_out = jobs.run_to_memory(jobs.sliding_counts_stream(spark, SF_DIR))
+    batch_out = REGISTRY["sliding_window_counts"].fn(spark, SF_DIR)
+    assert _multiset(stream_out) == _multiset(batch_out)
+
+
+def test_stream_session_matches_batch(spark):
+    stream_out = jobs.run_to_memory(jobs.session_windows_stream(spark, SF_DIR))
+    batch_out = REGISTRY["session_window_islands"].fn(spark, SF_DIR)
+    assert _multiset(stream_out) == _multiset(batch_out)
+
+
+def test_stream_dedup_keeps_unique_events(spark):
+    out = jobs.run_to_memory(jobs.stream_dedup(spark, SF_DIR), output_mode="append")
+    n_unique = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet").select("event_id").distinct().count()
+    )
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_static_join_matches_batch(spark):
+    stream_out = jobs.run_to_memory(
+        jobs.stream_static_enrich(spark, SF_DIR), output_mode="append"
+    )
+    batch_out = REGISTRY["stream_static_join"].fn(spark, SF_DIR)
+    assert _multiset(stream_out) == _multiset(batch_out)
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState totals must equal the batch groupBy."""
+    from pyspark.sql import functions as F
+
+    out = jobs.run_to_memory(
+        jobs.stateful_running_totals(spark, SF_DIR), output_mode="update"
+    )
+    # update mode emits one row per key per batch; last row per key is final
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    assert _multiset(final) == _multiset(batch)
+
+
+def test_scheduled_refresh_overwrites_idempotently(spark, tmp_path):
+    """The cron-analog: two availableNow passes over the same input must
+    leave the same sink contents (idempotent overwrite, reference :295)."""
+    out = str(tmp_path / "refresh_out")
+    jobs.scheduled_refresh(spark, SF_DIR, out)
+    first = _multiset(spark.read.parquet(out))
+    jobs.scheduled_refresh(spark, SF_DIR, out)
+    second = _multiset(spark.read.parquet(out))
+    assert first == second
+    batch = REGISTRY["tumbling_window_hourly"].fn(spark, SF_DIR)
+    assert first == _multiset(batch)

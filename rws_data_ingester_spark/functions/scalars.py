@@ -331,3 +331,82 @@ def scalar_coalesce_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).alias("leading_num"),
     )
+
+
+@query(
+    "scalar_string_funcs2",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]+', '#')       AS name_hashed,
+           translate(c_mktsegment, 'AEIOU', 'aeiou')   AS seg_translated,
+           repeat(c_mktsegment[1:1], 3)                AS first_x3,
+           reverse(c_name)                             AS name_rev,
+           ascii(c_mktsegment)::BIGINT                 AS seg_ascii,
+           chr(65 + (c_custkey % 26)::INTEGER)         AS key_letter,
+           concat_ws('-', c_mktsegment, c_custkey::VARCHAR) AS seg_key,
+           printf('%s has balance %.2f', c_name, c_acctbal) AS summary
+    FROM customer
+    """,
+)
+def scalar_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "#").alias("name_hashed"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.repeat(F.substring("c_mktsegment", 1, 1), 3).alias("first_x3"),
+        F.reverse("c_name").alias("name_rev"),
+        F.ascii("c_mktsegment").cast("long").alias("seg_ascii"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("key_letter"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.format_string("%s has balance %.2f", F.col("c_name"), F.col("c_acctbal")).alias(
+            "summary"
+        ),
+    )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CASE WHEN (l_linenumber - 1) = 0 THEN NULL
+                 ELSE l_quantity / (l_linenumber - 1) END, 6) AS qty_per_prev_line,
+           CASE WHEN (l_linenumber - 1) = 0 THEN NULL
+                ELSE (l_orderkey // (l_linenumber - 1)) END::BIGINT AS key_div
+    FROM lineitem
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """try_* arithmetic: divide-by-zero yields NULL instead of failing the
+    job — the columnar analog of the reference's defensive defaults."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1), 6).alias(
+            "qty_per_prev_line"
+        ),
+        F.expr("try_divide(l_orderkey, l_linenumber - 1)").cast("long").alias("key_div"),
+    )
+
+
+@query(
+    "scalar_posexplode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 20
+    ),
+    idx AS (
+      SELECT doc_id, toks, UNNEST(generate_series(1, len(toks))) AS i FROM d
+    )
+    SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS token FROM idx
+    """,
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).documents
+    return (
+        d.filter(F.col("doc_id") < 20)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+    )

@@ -275,3 +275,45 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_seen"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0       AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
+           ROUND(COVAR_POP(l_discount, l_tax), 6) + 0.0            AS disc_tax_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`+ 0.0` on both sides normalizes IEEE negative zero — ROUND can
+    yield -0.0 in one engine and +0.0 in the other, which hash-differ."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("qty_price_corr"),
+        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + 0.0).alias(
+            "qty_price_covar"
+        ),
+        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + 0.0).alias("disc_tax_covar"),
+    )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           BOOL_AND(o_totalprice > 1000)   AS all_over_1k,
+           BOOL_OR(o_totalprice > 300000)  AS any_over_300k,
+           BOOL_AND(o_orderstatus != 'X')  AS none_x
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 300000).alias("any_over_300k"),
+        F.bool_and(F.col("o_orderstatus") != "X").alias("none_x"),
+    )

@@ -472,3 +472,122 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(F.col("user_id") == 1).select("event_type").intersectAll(
         ev.filter(F.col("user_id") == 2).select("event_type")
     )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM nation n RIGHT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return cat.nation.join(
+        cat.supplier, F.col("s_nationkey") == F.col("n_nationkey"), "right"
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+
+
+@query(
+    "set_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(cat.supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@query(
+    "pivot_status_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0.0), 2) AS O,
+           ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0.0), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one output column per pivot value. Spark's pivot with an
+    explicit value list avoids the extra distinct-scan pass; the oracle
+    states the equivalent conditional aggregation."""
+    li = Catalog(spark, sf_dir).lineitem
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("F"),
+    )
+
+
+@query(
+    "unpivot_order_metrics",
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS metric, ROUND(o_totalprice, 2) AS val FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS metric, o_custkey::DOUBLE AS val FROM orders
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).orders
+    return o.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.col("o_custkey").cast("double").alias("o_custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["o_totalprice", "o_custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery via SQL passthrough — Catalyst plans the subquery
+    as a broadcast scalar (one extra tiny job), identical to DuckDB."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "in_subquery_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    """,
+)
+def in_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        """
+    )

@@ -1,0 +1,67 @@
+"""Scale strategies that aren't single Catalyst knobs (SURVEY.md §4.3):
+skew-salted joins and bucketed (pre-shuffled) tables.
+
+AQE already handles moderate skew (spark.sql.adaptive.skewJoin, on in
+session.py); ``salted_join`` is the explicit fallback for pathological
+keys AQE splitting can't fix (one key >> everything). ``bucketize`` is
+the co-location strategy: pay the shuffle once at write time, then every
+future equi-join/agg on the bucket key is exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big (skewed) side with a random
+    shard id, replicate the small side across all shards, join on
+    (key, salt). The hot key's rows spread over n_salts reducers instead
+    of one. Result is row-identical to the plain join.
+
+    The salt must be deterministic per row for retry-safety — derived from
+    a hash of the whole row, not rand() (a retried task must re-produce
+    the same salt or shuffle re-computation corrupts the join).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_salted = big.withColumn("_salt", salt)
+    small_replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    out = big_salted.join(
+        small_replicated,
+        (big_salted[big_key] == small_replicated[small_key])
+        & (big_salted["_salt"] == small_replicated["_salt"]),
+        how,
+    )
+    return out.drop("_salt")
+
+
+def bucketize(
+    df: DataFrame,
+    table_name: str,
+    bucket_key: str,
+    n_buckets: int = 8,
+    sort_key: str | None = None,
+) -> DataFrame:
+    """Write df as a bucketed managed table and return the bucketed scan.
+
+    Joins/aggregations between tables bucketed identically on the join key
+    skip the exchange entirely (verify: no Exchange above the scans in
+    .explain). This is the 100 TB answer to repeated fact-fact joins on
+    the same key.
+    """
+    spark = df.sparkSession
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if sort_key:
+        writer = writer.sortBy(sort_key)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)

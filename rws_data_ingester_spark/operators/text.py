@@ -185,3 +185,57 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint"
         ),
     )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 100
+    ),
+    tf AS (
+      SELECT doc_id, UNNEST(toks) AS token, len(toks) AS n_toks
+      FROM docs
+    ),
+    counts AS (
+      SELECT doc_id, token, COUNT(*) AS cnt, ANY_VALUE(n_toks) AS n_toks
+      FROM tf GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM counts GROUP BY token
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM docs)
+    SELECT c.doc_id, c.token,
+           ROUND((c.cnt::DOUBLE / c.n_toks)
+                 * (ln((n.n_docs + 1)::DOUBLE / (d.doc_freq + 1)) + 1), 6) AS tfidf
+    FROM counts c JOIN df d ON c.token = d.token CROSS JOIN n
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF, DataFrame-native (no MLlib hashing — exact terms so the
+    oracle can replay it): tf = cnt/doc_len, idf = ln((N+1)/(df+1)) + 1.
+
+    Scale shape: two hash aggs (per-doc-term, per-term) + one broadcast of
+    the tiny doc-count scalar + a shuffle join on token. The doc-frequency
+    table is vocabulary-sized — orders smaller than the corpus."""
+    d = Catalog(spark, sf_dir).documents
+    docs = d.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_docs = docs.count()  # tiny scalar, computed once on the driver
+    counts = (
+        docs.select("doc_id", F.size("toks").alias("n_toks"), F.explode("toks").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"), F.first("n_toks").alias("n_toks"))
+    )
+    doc_freq = counts.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    return counts.join(doc_freq, "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            (F.col("cnt").cast("double") / F.col("n_toks"))
+            * (F.log((F.lit(n_docs) + 1) / (F.col("doc_freq") + 1)) + 1),
+            6,
+        ).alias("tfidf"),
+    )

@@ -173,3 +173,28 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.round(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 6).alias("price_share"),
     )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+             AS cume,
+           ROUND(o_totalprice, 2) AS total_price
+    FROM orders
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — both tie-stable (defined from rank/peer
+    counts), so value-ordered windows stay deterministic."""
+    o = Catalog(spark, sf_dir).orders
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round("o_totalprice", 2).alias("total_price"),
+    )

@@ -28,8 +28,13 @@ TABLES = (
 def spark():
     from rws_data_ingester_spark.session import get_spark
 
+    import tempfile
+
     s = get_spark(app_name="tests", master="local[4]", extra_conf={
         "spark.sql.shuffle.partitions": "4",
+        # warehouse.dir is a static conf — point it at a throwaway dir at
+        # session build time so bucketize() tests can saveAsTable safely.
+        "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_"),
     })
     yield s
     s.stop()

@@ -1,0 +1,102 @@
+"""Physical-plan shape tests: the scale claims in the operator docstrings
+are asserted against .explain output, not taken on faith (the prompt's
+rule: iterate until it's the plan you'd want, not the first that passed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.operators.scale import bucketize, salted_join
+from rws_data_ingester_spark.plans import REGISTRY
+
+from tests.conftest import SF_DIR, rows_to_multiset
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushes_filter_into_scan(spark):
+    plan = _formatted(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_prunes_columns(spark):
+    """The scan must read only the 7 referenced columns, not all 11."""
+    plan = _formatted(REGISTRY["q1_pricing_summary"].fn(spark, SF_DIR))
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema and "l_discount" in read_schema
+
+
+def test_star_join_is_all_broadcast(spark):
+    plan = _plan(REGISTRY["join_broadcast_star"].fn(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark):
+    plan = _plan(REGISTRY["topk_lineitems"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_has_window_group_limit(spark):
+    plan = _plan(REGISTRY["window_topk_per_group"].fn(spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+
+
+def test_range_join_broadcasts_band_table(spark):
+    plan = _plan(REGISTRY["join_range_bands"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_agg_has_partial_final_phases(spark):
+    plan = _plan(REGISTRY["agg_basic"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_salted_join_matches_plain_join(spark):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_custkey"
+    )
+    salted = salted_join(orders, customer, "o_custkey", "c_custkey").select(
+        "o_orderkey", "c_custkey"
+    )
+    as_ms = lambda df: rows_to_multiset(df.columns, [tuple(r) for r in df.collect()])  # noqa: E731
+    assert as_ms(plain) == as_ms(salted)
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    bo = bucketize(orders, "orders_b", "o_orderkey", 4)
+    bl = bucketize(lineitem, "lineitem_b", "l_orderkey", 4)
+    # broadcast would bypass bucketing on tiny data — force SMJ to expose it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey).groupBy("o_orderkey").count()
+        plan = _plan(joined)
+        pre_agg = plan.split("HashAggregate")[-1]  # below the join
+        assert "Exchange" not in pre_agg.split("SortMergeJoin")[-1], (
+            "bucketed join must not re-shuffle either side"
+        )
+        n = joined.count()
+        assert n == orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)\
+            .groupBy("o_orderkey").count().count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")

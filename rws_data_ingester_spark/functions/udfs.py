@@ -1,0 +1,174 @@
+"""Python extension-point surface (SURVEY.md §2.10 [EXT], last row):
+scalar UDF, Arrow-batched pandas UDAF (grouped-agg), applyInPandas
+grouped-map, and a Python UDTF — one oracle-checked query per kind.
+
+These exist to prove the extension surface, not to be the hot path: the
+scale guidance (SURVEY §2.10 / pyspark guide) is built-ins first, Arrow
+batching when Python is unavoidable, row-at-a-time F.udf last. Each query
+below picks data small enough that the Python boundary cost is irrelevant
+while the oracle still pins exact semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+
+# --------------------------------------------------------------------------
+# Row-at-a-time scalar UDF (the slow path, demonstrated deliberately)
+# --------------------------------------------------------------------------
+@F.udf(T.LongType())
+def vowel_count(s: str) -> int:
+    return sum(1 for ch in (s or "") if ch in "aeiouAEIOU")
+
+
+@query(
+    "udf_scalar_vowels",
+    oracle="""
+    SELECT n_nationkey,
+           length(regexp_replace(n_name, '[^aeiouAEIOU]', '', 'g'))::BIGINT AS vowels
+    FROM nation
+    """,
+)
+def udf_scalar_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF on the 25-row nation table — the
+    extension point exists; the hot-path rule is to never use it there."""
+    n = Catalog(spark, sf_dir).nation
+    return n.select("n_nationkey", vowel_count("n_name").alias("vowels"))
+
+
+# --------------------------------------------------------------------------
+# Grouped-aggregate pandas UDAF (Arrow batch per group)
+# --------------------------------------------------------------------------
+@F.pandas_udf(T.DoubleType())
+def geomean(v: pd.Series) -> float:
+    return float(np.exp(np.log(v.to_numpy()).mean()))
+
+
+@F.pandas_udf(T.LongType())
+def pd_count(v: pd.Series) -> int:
+    return int(len(v))
+
+
+@query(
+    "udaf_geomean_price",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geo_mean_price,
+           COUNT(*)::BIGINT AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as a grouped-agg pandas UDF: geometric mean of
+    order value per priority. The whole group's column arrives as one
+    Arrow batch; the oracle states the closed form EXP(AVG(LN(x))).
+    The count is also a pandas UDAF — Spark disallows mixing grouped-agg
+    pandas UDFs with JVM aggregates in one agg()."""
+    o = Catalog(spark, sf_dir).orders
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            geomean("o_totalprice").alias("gm_raw"),
+            pd_count("o_totalprice").alias("n_orders"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("gm_raw", 2).alias("geo_mean_price"),
+            "n_orders",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped-map applyInPandas (per-group DataFrame → DataFrame)
+# --------------------------------------------------------------------------
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_nationkey", T.LongType()),
+        T.StructField("bal_z", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    bal = pdf["c_acctbal"].to_numpy()
+    z = (bal - bal.mean()) / bal.std(ddof=1)
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_nationkey": pdf["c_nationkey"],
+            "bal_z": np.round(z, 6),
+        }
+    )
+
+
+@query(
+    "grouped_map_zscore",
+    oracle="""
+    SELECT c_custkey,
+           c_nationkey,
+           ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
+                 / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS bal_z
+    FROM customer
+    """,
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation z-score of account balance via applyInPandas — the
+    grouped-map (UDTF-ish) extension point. Each nation's rows arrive as
+    one pandas frame; at 100 TB the group key must be chosen so a single
+    group fits an executor (here: ~1/25th of customer)."""
+    c = Catalog(spark, sf_dir).customer
+    return (
+        c.select("c_custkey", "c_nationkey", "c_acctbal")
+        .groupBy("c_nationkey")
+        .applyInPandas(_zscore_group, schema=_ZSCORE_SCHEMA)
+    )
+
+
+# --------------------------------------------------------------------------
+# Python UDTF (Spark 3.5+): one input row → many output rows
+# --------------------------------------------------------------------------
+@query(
+    "udtf_bigrams",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 20
+    ),
+    i AS (
+      SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i FROM d
+    )
+    SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] || ' ' || toks[i + 1] AS bigram
+    FROM i
+    """,
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigrams via a Python UDTF applied with a SQL LATERAL join —
+    the table-function extension point (eval yields N rows per input)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: bigint, bigram: string")
+    class Bigrams:
+        def eval(self, text: str):
+            toks = (text or "").split(" ")
+            for i in range(len(toks) - 1):
+                yield i, toks[i] + " " + toks[i + 1]
+
+    spark.udtf.register("bigrams", Bigrams)
+    cat = Catalog(spark, sf_dir)
+    cat.documents.filter(F.col("doc_id") < 20).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.bigram
+        FROM _udtf_docs d, LATERAL bigrams(d.text) t
+        """
+    )

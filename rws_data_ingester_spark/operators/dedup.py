@@ -119,12 +119,23 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH banding (pure DataFrame ops — no MLlib, no Python UDF)
 # --------------------------------------------------------------------------
 def shingles(text_col: F.Column, k: int = 3) -> F.Column:
-    """Word k-shingles as an array column (distinct)."""
-    toks = F.split(text_col, " ")
+    """Word k-shingles as an array column (distinct).
+
+    The token array is materialized ONCE via a lambda binding
+    (`transform` over a single-element wrapper) so the per-shingle slice
+    references the bound array — a naive `slice(split(text), i, k)`
+    inside the position lambda re-splits the text per shingle, turning
+    an O(tokens) op into O(tokens²) per document.
+    """
     return F.array_distinct(
-        F.expr(
-            f"transform(sequence(0, greatest(size(split(text, ' ')) - {k}, 0)),"
-            f" i -> concat_ws(' ', slice(split(text, ' '), i + 1, {k})))"
+        F.flatten(
+            F.transform(
+                F.array(F.split(text_col, " ")),
+                lambda toks: F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                ),
+            )
         )
     )
 

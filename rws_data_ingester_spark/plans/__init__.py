@@ -19,5 +19,5 @@ from rws_data_ingester_spark.operators import (  # noqa: F401
     text,
     multimodal,
 )
-from rws_data_ingester_spark.functions import scalars  # noqa: F401
-from rws_data_ingester_spark.sources import ingest_queries  # noqa: F401
+from rws_data_ingester_spark.functions import scalars, udfs  # noqa: F401
+from rws_data_ingester_spark.sources import connector_queries, ingest_queries  # noqa: F401

@@ -99,6 +99,55 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FRAME_BYTES = 256
+SAMPLE_EVERY = 4
+
+
+def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Video-shaped frame sampling over binary payloads: chunk the payload
+    into fixed FRAME_BYTES 'frames', keep every SAMPLE_EVERY-th frame.
+    Runs as mapInPandas — the same Arrow-batched shape a real ffmpeg
+    frame-sampler would use; only the chunking rule is a stand-in."""
+    schema = f"{id_col} long, n_frames long, n_sampled long, sampled_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                p = payload or b""
+                frames = [p[i : i + FRAME_BYTES] for i in range(0, len(p), FRAME_BYTES)]
+                sampled = frames[::SAMPLE_EVERY]
+                rows.append(
+                    (doc_id, len(frames), len(sampled), sum(len(f) for f in sampled))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "n_frames", "n_sampled", "sampled_bytes"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len FROM documents
+    )
+    SELECT doc_id,
+           ((byte_len + {FRAME_BYTES - 1}) // {FRAME_BYTES})::BIGINT AS n_frames,
+           (((byte_len + {FRAME_BYTES - 1}) // {FRAME_BYTES})
+             + {SAMPLE_EVERY - 1}) // {SAMPLE_EVERY} AS n_sampled
+    FROM b
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling runs for real (mapInPandas over the byte payload); the
+    oracle checks the frame arithmetic the chunking must satisfy —
+    ceil(bytes/frame) frames, every 4th kept."""
+    d = Catalog(spark, sf_dir).documents
+    return frame_sample(attach_payload(d)).select("doc_id", "n_frames", "n_sampled")
+
+
 @query("multimodal_features", oracle=None)  # stubbed decode → rows-only
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents

@@ -138,3 +138,82 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 5)
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) — the second approximate scale path: k-means coarse
+# quantizer, probe only the nprobe nearest cells. At 100 TB the cell
+# assignment is a one-off pass (like LSH bucketing) and each query's
+# candidate set is nprobe/n_centroids of the corpus.
+# --------------------------------------------------------------------------
+def ivf_index(
+    emb: DataFrame, n_centroids: int = 16, seed: int = 42, max_iter: int = 5
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index: seeded MLlib KMeans over the embeddings →
+    (assignments df [vec_id, centroid_id], centroids df [centroid_id,
+    centroid]). The centroid table is tiny (n_centroids rows) and always
+    broadcast; the corpus-side assignment is one Arrow-free JVM pass."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        "vec_id", array_to_vector(_as_double("embedding")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(vecs)
+    assignments = model.transform(vecs).select(
+        "vec_id", F.col("prediction").cast("int").alias("centroid_id")
+    )
+    spark = emb.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    return assignments, cents
+
+
+@query("simsearch_topk_ivf", oracle=None)  # approx (kmeans-dependent) → rows-only
+def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via IVF: rank the 16 cells per query by L2
+    distance to the centroid, probe the 4 nearest, exact cosine inside the
+    probed cells only. Recall vs the exact path is asserted in tests."""
+    nprobe = 4
+    e = Catalog(spark, sf_dir).embeddings
+    assignments, cents = ivf_index(e.select("vec_id", "embedding"))
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
+    )
+    l2 = F.expr(
+        "aggregate(zip_with(qe, centroid, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("cell_dist"), "centroid_id")
+    probes = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("cell_dist", l2)
+        .withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qe", "centroid_id")
+    )
+    c = e.join(assignments, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double("embedding").alias("ce"),
+        F.col("centroid_id").alias("c_centroid_id"),
+    )
+    dot = F.expr(_DOT.format(a="qe", b="ce"))
+    qn = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
+    cn = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
+    scored = (
+        F.broadcast(probes)
+        .join(
+            c,
+            (F.col("centroid_id") == F.col("c_centroid_id"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("cosine_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

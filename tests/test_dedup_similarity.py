@@ -97,3 +97,15 @@ def test_multimodal_feature_shape(spark):
     assert decode_stub_features(b"") == [0.0] * 8
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF (seeded k-means, nprobe=4/16) must recover a solid fraction of
+    the exact top-5 (measured 0.64 on this fixture; the floor asserts
+    'plumbing correct + recall not degenerate', not production recall)."""
+    exact = REGISTRY["simsearch_topk_exact"].fn(spark, SF_DIR)
+    approx = REGISTRY["simsearch_topk_ivf"].fn(spark, SF_DIR)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"degenerate IVF recall {recall}"

@@ -58,3 +58,29 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl(spark, out, schema=s.schema).select(
         "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
     )
+
+
+@query(
+    "sink_partitioned_pruning",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, ROUND(o_totalprice, 2) AS total_price
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → parquet partitioned by o_orderpriority → filtered scan.
+    The read-back filter hits only the 1-URGENT directory (PartitionFilters
+    in the plan — asserted in tests/test_scale_plans.py); at 100 TB this is
+    the difference between scanning one partition and scanning the table."""
+    from pyspark.sql import functions as F
+
+    from rws_data_ingester_spark.sources.sinks import write_partitioned_parquet
+
+    o = Catalog(spark, sf_dir).orders
+    out = tempfile.mkdtemp(prefix="rws_part_")
+    write_partitioned_parquet(o, out, ["o_orderpriority"])
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("total_price"))
+    )

@@ -100,3 +100,12 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_sink_scan_prunes_partitions(spark):
+    plan = _formatted(REGISTRY["sink_partitioned_pruning"].fn(spark, SF_DIR))
+    part_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderpriority" in part_line, "filter must prune at partition level"
+    # pruned at directory level → no rowgroup-level pushed filter needed on it
+    read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "o_totalprice" in read_schema and "o_clerk" not in read_schema

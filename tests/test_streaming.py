@@ -82,3 +82,36 @@ def test_scheduled_refresh_overwrites_idempotently(spark, tmp_path):
     assert first == second
     batch = REGISTRY["tumbling_window_hourly"].fn(spark, SF_DIR)
     assert first == _multiset(batch)
+
+
+def test_rate_source_drives_streaming_agg(spark):
+    """The rate source (SURVEY §2.1 [EXT]) drives a windowed count with no
+    fixture dependency — the generic load-generator for streaming ops."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 100).load()
+        .withColumn("bucket", F.col("value") % 4)
+        .groupBy("bucket")
+        .count()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_counts")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM rate_counts").collect()
+            if len(rows) == 4 and all(r["count"] > 0 for r in rows):
+                break
+            time.sleep(1)
+        else:
+            raise AssertionError(f"rate stream never produced 4 buckets: {rows}")
+    finally:
+        q.stop()

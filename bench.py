@@ -28,6 +28,9 @@ from rws_data_ingester_spark.session import get_spark  # noqa: E402
 # sessionization, as-of, dedup (exact + MinHash), text, similarity.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
     "join_broadcast_star",
     "join_inner_customer_orders",
     "join_asof_last_click",

@@ -10,6 +10,7 @@ from rws_data_ingester_spark.plans.registry import REGISTRY, query, oracle_pairs
 
 # Import for side effect: each module registers its queries.
 from rws_data_ingester_spark.operators import (  # noqa: F401
+    analytics,
     relational,
     aggregates,
     windows,

@@ -155,3 +155,64 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: correlated EXISTS. Catalyst decorrelates it into a left
+    semi join on l_orderkey with the l_shipdate > o_orderdate residual —
+    same plan a hand-written semi join would get, written declaratively."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("orders", "lineitem"))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0 + 0.000001, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 shape: correlated scalar subquery (per-part average quantity).
+    Catalyst decorrelates into an aggregate-then-join: one pass computes
+    avg(l_quantity) per partkey, then joins it back — the subquery never
+    re-executes per row, which is the only survivable form at 100 TB."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("lineitem", "part"))
+    return spark.sql(
+        """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0 + 0.000001, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+        """
+    )

@@ -273,7 +273,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            COUNT(*) FILTER (WHERE sim >= 0.9)::BIGINT AS n_neardups,
-           ROUND(AVG(sim), 4) AS avg_sim
+           ROUND(AVG(sim), 4) + 0.0 AS avg_sim
     FROM pairs GROUP BY label
     """,
 )
@@ -294,5 +294,5 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.label").alias("label"), (dot / (norm_a * norm_b)).alias("sim"))
     return pairs.groupBy("label").agg(
         F.count(F.when(F.col("sim") >= 0.9, 1)).alias("n_neardups"),
-        F.round(F.avg("sim"), 4).alias("avg_sim"),
+        (F.round(F.avg("sim"), 4) + 0.0).alias("avg_sim"),  # +0.0: -0.0 normalization
     )

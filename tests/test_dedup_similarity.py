@@ -109,3 +109,11 @@ def test_ivf_topk_recall_vs_exact(spark):
     approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.3, f"degenerate IVF recall {recall}"
+
+
+def test_numpy_topk_identical_to_catalyst_topk(spark):
+    """The BLAS-matmul path must be row-identical to the Catalyst path
+    (same float64 math, same rounding, same tie-break)."""
+    a = REGISTRY["simsearch_topk_exact"].fn(spark, SF_DIR)
+    b = REGISTRY["simsearch_topk_exact_np"].fn(spark, SF_DIR)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

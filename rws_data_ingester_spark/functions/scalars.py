@@ -410,3 +410,67 @@ def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
         .select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
     )
+
+
+@query(
+    "scalar_higher_order",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           len(list_filter(toks, t -> length(t) > 4))::BIGINT AS n_long,
+           list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)::BIGINT
+             AS total_chars,
+           CASE WHEN len(list_filter(toks, t -> t = 'the')) > 0 THEN true ELSE false END
+             AS has_the,
+           len(list_filter(toks, t -> length(t) >= 1)) = len(toks) AS all_nonempty
+    FROM d
+    """,
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array lambdas: filter/transform+aggregate/exists/forall
+    — all JVM-side Catalyst expressions, no Python boundary."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    return d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 4)).cast("long").alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("total_chars"),
+        F.exists(toks, lambda t: t == "the").alias("has_the"),
+        F.forall(toks, lambda t: F.length(t) >= 1).alias("all_nonempty"),
+    )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           (o_orderkey & 255)::BIGINT       AS low_byte,
+           (o_orderkey | 4096)::BIGINT      AS with_flag,
+           xor(o_orderkey, o_custkey)::BIGINT AS xored,
+           (o_orderkey << 2)::BIGINT        AS shifted_l,
+           (o_orderkey >> 3)::BIGINT        AS shifted_r,
+           bit_count(o_orderkey)::BIGINT    AS popcount
+    FROM orders
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops — the building blocks the SimHash/LSH band extraction
+    uses, exposed as a first-class query."""
+    o = Catalog(spark, sf_dir).orders
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("long").alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).cast("long").alias("with_flag"),
+        k.bitwiseXOR(c).cast("long").alias("xored"),
+        F.shiftleft(k, 2).cast("long").alias("shifted_l"),
+        F.shiftright(k, 3).cast("long").alias("shifted_r"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    )

@@ -156,7 +156,7 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the table-function extension point (eval yields N rows per input)."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="pos: bigint, bigram: string")
+    @udtf(returnType="pos: bigint, bigram: string", useArrow=True)
     class Bigrams:
         def eval(self, text: str):
             toks = (text or "").split(" ")

@@ -317,3 +317,53 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_or(F.col("o_totalprice") > 300000).alias("any_over_300k"),
         F.bool_and(F.col("o_orderstatus") != "X").alias("none_x"),
     )
+
+
+@query(
+    "agg_share_of_total",
+    oracle="""
+    WITH per_nation AS (
+      SELECT n_name AS nation, SUM(o_totalprice) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT nation,
+           ROUND(rev, 2) AS revenue,
+           ROUND(rev / SUM(rev) OVER (), 6) AS share
+    FROM per_nation
+    """,
+)
+def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total per nation. The global total is computed by a
+    second aggregation over the *already-reduced* per-nation table (25
+    rows) and cross-joined back — NOT via an unpartitioned window over the
+    fact table, which would funnel every row through one task at scale.
+    The oracle uses SUM() OVER () because its input is the tiny per-nation
+    relation, where that's equivalent."""
+    cat = Catalog(spark, sf_dir)
+    per_nation = (
+        cat.orders.join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    total = per_nation.agg(F.sum("rev").alias("total"))
+    return per_nation.crossJoin(F.broadcast(total)).select(
+        "nation",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.col("total"), 6).alias("share"),
+    )
+
+
+@query("agg_freq_items", oracle=None)  # approx sketch → rows-only
+def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate frequent items (Karp-Papadimitriou-Shenker sketch via
+    df.stat.freqItems) over event types — constant memory per partition,
+    one pass; the 100 TB answer when exact top-k heavy hitters would need
+    a full shuffle. Output is the sorted candidate set."""
+    ev = Catalog(spark, sf_dir).events
+    freq = ev.stat.freqItems(["event_type"], support=0.1)
+    return freq.select(
+        F.explode(F.sort_array(F.col("event_type_freqItems"))).alias("frequent_event_type")
+    )

@@ -65,3 +65,17 @@ def bucketize(
         writer = writer.sortBy(sort_key)
     writer.saveAsTable(table_name)
     return spark.table(table_name)
+
+
+def observed(df: DataFrame, name: str, **metrics: F.Column):
+    """Attach observable metrics to a DataFrame: ``observed(df, "stage1",
+    rows=F.count(F.lit(1)), rev=F.sum("o_totalprice"))`` returns
+    (df, Observation). Metrics are computed DURING the next action on the
+    plan — zero extra passes over the data, which is the only affordable
+    way to get row-count/quality counters out of a 100 TB pipeline stage.
+    Read them after the action via ``obs.get``."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    named = [col.alias(alias) for alias, col in metrics.items()]
+    return df.observe(obs, *named), obs

@@ -109,3 +109,17 @@ def test_partitioned_sink_scan_prunes_partitions(spark):
     # pruned at directory level → no rowgroup-level pushed filter needed on it
     read_schema = next(l for l in plan.splitlines() if "ReadSchema" in l)
     assert "o_totalprice" in read_schema and "o_clerk" not in read_schema
+
+
+def test_observed_metrics_collected_during_action(spark):
+    """Observation metrics arrive with the action itself — no second scan."""
+    from rws_data_ingester_spark.operators.scale import observed
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    df, obs = observed(
+        orders, "ingest", rows=F.count(F.lit(1)), max_price=F.max("o_totalprice")
+    )
+    out = df.filter(F.col("o_totalprice") > 0).count()
+    assert obs.get["rows"] == orders.count()
+    assert obs.get["max_price"] > 0
+    assert out > 0

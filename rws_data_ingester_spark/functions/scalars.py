@@ -474,3 +474,58 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("long").alias("shifted_r"),
         F.bit_count(k).cast("long").alias("popcount"),
     )
+
+
+@query(
+    "scalar_generators",
+    oracle="""
+    WITH n AS (SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
+    SELECT n_nationkey,
+           UNNEST(generate_series(0, n_nationkey))::BIGINT AS i
+    FROM n
+    """,
+)
+def scalar_generators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row generation via sequence + explode_outer (lateral expansion)."""
+    n = Catalog(spark, sf_dir).nation
+    return (
+        n.filter(F.col("n_nationkey") < 5)
+        .select(
+            "n_nationkey",
+            F.explode_outer(F.sequence(F.lit(0), F.col("n_nationkey"))).alias("i"),
+        )
+        .select("n_nationkey", F.col("i").cast("long").alias("i"))
+    )
+
+
+@query(
+    "scalar_date_funcs2",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) / 30.4375, 4)
+             AS approx_months,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate::DATE), '%Y-%m-%d')      AS month_end,
+           dayofweek(o_orderdate)::BIGINT                          AS dow,
+           weekofyear(o_orderdate)::BIGINT                         AS woy,
+           (epoch(o_orderdate))::BIGINT                            AS unix_ts
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date batch: truncation, month boundaries, calendar fields,
+    epoch conversion — rendered to strings/bigints per the oracle rules.
+    DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7, so
+    the Spark side subtracts 1 to the common encoding."""
+    o = Catalog(spark, sf_dir).orders
+    return o.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        F.round(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) / 30.4375, 4
+        ).alias("approx_months"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+        F.weekofyear("o_orderdate").cast("long").alias("woy"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+    )

@@ -529,3 +529,64 @@ def scalar_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear("o_orderdate").cast("long").alias("woy"),
         F.unix_timestamp("o_orderdate").alias("unix_ts"),
     )
+
+
+@query(
+    "scalar_string_funcs3",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name[1:1]) || lower(c_name[2:])        AS name_title,
+           strpos(c_name, '1')::BIGINT                    AS pos_one,
+           left(c_mktsegment, 3)                          AS seg3,
+           right(c_name, 4)                               AS name_tail,
+           c_mktsegment LIKE 'B%'                         AS seg_b,
+           c_name SIMILAR TO 'Customer#[0-9]+'            AS name_canonical,
+           split_part(c_name, '#', 2)                     AS name_number
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def scalar_string_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string batch: initcap (DuckDB lacks the function — its
+    oracle spells upper(head)||lower(tail), equivalent for single-word
+    names), position, left/right, LIKE, anchored regex match, split_part."""
+    c = Catalog(spark, sf_dir).customer
+    return c.filter(F.col("c_custkey") < 500).select(
+        "c_custkey",
+        F.initcap(F.lower("c_name")).alias("name_title"),
+        F.instr("c_name", "1").cast("long").alias("pos_one"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.substring("c_name", -4, 4).alias("name_tail"),
+        F.col("c_mktsegment").like("B%").alias("seg_b"),
+        F.col("c_name").rlike("^Customer#[0-9]+$").alias("name_canonical"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_number"),
+    )
+
+
+@query(
+    "scalar_map_interop",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             map(['lang', 'source'], [lang, source]) AS meta
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           map_extract(meta, 'lang')[1]   AS lang,
+           map_extract(meta, 'source')[1] AS source,
+           len(map_keys(meta))::BIGINT AS n_keys
+    FROM d
+    """,
+)
+def scalar_map_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a map from columns, read it back by key — the shape typed
+    metadata columns (multimodal/media_meta) use."""
+    d = Catalog(spark, sf_dir).documents
+    meta = F.create_map(
+        F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+    )
+    return d.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        meta.getItem("lang").alias("lang"),
+        meta.getItem("source").alias("source"),
+        F.size(F.map_keys(meta)).cast("long").alias("n_keys"),
+    )

@@ -265,3 +265,43 @@ def stateful_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: attribute each purchase to any click by
+    the same user in the preceding hour. Both sides are watermarked — the
+    watermark bounds how long click state is buffered (2 h here), which is
+    what keeps a joined pair of infinite streams in finite state."""
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )

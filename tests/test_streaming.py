@@ -135,3 +135,38 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
         return rows
 
     assert finals(legacy) == finals(tws)
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """Stream-stream interval join (availableNow replay) must equal the
+    batch interval join over the same events."""
+    from rws_data_ingester_spark.catalog import Catalog
+    from pyspark.sql import functions as F
+
+    streamed = jobs.run_to_memory(
+        jobs.stream_stream_click_purchase(spark, SF_DIR), "append"
+    )
+    ev = Catalog(spark, SF_DIR).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.round("purchase_value", 4).alias("purchase_value"),
+    )
+    assert _multiset(streamed) == _multiset(batch)

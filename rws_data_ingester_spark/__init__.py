@@ -23,3 +23,48 @@ __version__ = "0.1.0"
 
 from rws_data_ingester_spark.session import get_spark  # noqa: F401
 from rws_data_ingester_spark.catalog import Catalog, load_table  # noqa: F401
+
+# Reusable operator building blocks (the library surface; the declared
+# query surface lives in rws_data_ingester_spark.plans.REGISTRY).
+from rws_data_ingester_spark.operators.scale import (  # noqa: F401
+    bucketize,
+    observed,
+    salted_join,
+)
+from rws_data_ingester_spark.operators.dedup import (  # noqa: F401
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingles,
+    simhash64,
+)
+from rws_data_ingester_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_np,
+    hyperplane_signature,
+    ivf_index,
+)
+from rws_data_ingester_spark.operators.multimodal import (  # noqa: F401
+    attach_payload,
+    extract_features,
+    frame_sample,
+)
+
+__all__ = [
+    "get_spark",
+    "Catalog",
+    "load_table",
+    "bucketize",
+    "observed",
+    "salted_join",
+    "lsh_candidate_pairs",
+    "minhash_signature",
+    "shingles",
+    "simhash64",
+    "cosine_topk",
+    "cosine_topk_np",
+    "hyperplane_signature",
+    "ivf_index",
+    "attach_payload",
+    "extract_features",
+    "frame_sample",
+]

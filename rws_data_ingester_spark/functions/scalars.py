@@ -590,3 +590,37 @@ def scalar_map_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.getItem("source").alias("source"),
         F.size(F.map_keys(meta)).cast("long").alias("n_keys"),
     )
+
+
+@query(
+    "scalar_array_funcs2",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT doc_id,
+           list_position(toks, 'the')::BIGINT                   AS pos_the,
+           len(list_filter(toks, t -> t != 'the'))::BIGINT      AS n_non_the,
+           len(list_distinct(toks || ['__sentinel__']))::BIGINT AS n_with_sentinel,
+           array_to_string(toks[2:4], '|')                      AS mid_slice,
+           len(flatten([toks, toks]))::BIGINT                   AS n_doubled
+    FROM d
+    """,
+)
+def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second array batch: position lookup, remove-equivalent filter,
+    union-with-sentinel distinctness, slice, flatten. DuckDB list_position
+    and Spark array_position agree on 1-based/0-for-missing semantics."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    return d.filter(F.col("doc_id") < 30).select(
+        "doc_id",
+        F.array_position(toks, "the").cast("long").alias("pos_the"),
+        F.size(F.array_remove(toks, "the")).cast("long").alias("n_non_the"),
+        F.size(F.array_union(toks, F.array(F.lit("__sentinel__"))))
+        .cast("long")
+        .alias("n_with_sentinel"),
+        F.array_join(F.slice(toks, 2, 3), "|").alias("mid_slice"),
+        F.size(F.flatten(F.array(toks, toks))).cast("long").alias("n_doubled"),
+    )

@@ -198,3 +198,30 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round("o_totalprice", 2).alias("total_price"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NTH_VALUE(o_orderkey, 2) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           )::BIGINT AS second_priciest_key
+    FROM orders
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame (second-priciest order key
+    per status). Tie-broken by key so both engines agree."""
+    o = Catalog(spark, sf_dir).orders
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nth_value("o_orderkey", 2).over(w).cast("long").alias("second_priciest_key"),
+    )

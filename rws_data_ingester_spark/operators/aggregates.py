@@ -367,3 +367,24 @@ def agg_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return freq.select(
         F.explode(F.sort_array(F.col("event_type_freqItems"))).alias("frequent_event_type")
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)::BIGINT  AS g_status,
+           GROUPING(o_orderpriority)::BIGINT AS g_priority,
+           COUNT(*)::BIGINT AS n_orders
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping() flags disambiguate real NULL keys from rollup/cube
+    subtotal rows — without them a cube over a nullable key is unreadable."""
+    o = Catalog(spark, sf_dir).orders
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count("*").alias("n_orders"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders")

@@ -160,3 +160,40 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size("features").cast("long").alias("n_features"),
     )
+
+
+def resize_features(df: DataFrame, factor: int = 2, id_col: str = "doc_id") -> DataFrame:
+    """'Resize' stage: downsample the decoded feature vector by summing
+    adjacent bins (factor 2: 8 bins → 4). Stands in for image resize /
+    audio resample — same mapInPandas shape, decoded-representation in,
+    smaller decoded-representation out; mass (histogram sum) is preserved,
+    which the unit test asserts."""
+    schema = f"{id_col} long, features array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for feats in pdf["features"]:
+                arr = np.asarray(feats, dtype=np.float64)
+                out.append(arr.reshape(-1, factor).sum(axis=1).tolist())
+            yield pd.DataFrame({id_col: pdf[id_col], "features": out})
+
+    return df.select(id_col, "features").mapInPandas(run, schema=schema)
+
+
+@query("multimodal_resize", oracle=None)  # stub decode upstream → rows-only
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → resize pipeline over binary payloads; emits pre/post bin
+    counts and the (preserved) feature mass."""
+    d = Catalog(spark, sf_dir).documents
+    feats = extract_features(attach_payload(d)).select(
+        "doc_id", F.col("features").alias("features")
+    )
+    resized = resize_features(feats, factor=2)
+    return resized.select(
+        "doc_id",
+        F.size("features").cast("long").alias("n_bins"),
+        F.round(
+            F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)"), 6
+        ).alias("feature_mass"),
+    )

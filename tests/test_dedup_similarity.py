@@ -117,3 +117,26 @@ def test_numpy_topk_identical_to_catalyst_topk(spark):
     a = REGISTRY["simsearch_topk_exact"].fn(spark, SF_DIR)
     b = REGISTRY["simsearch_topk_exact_np"].fn(spark, SF_DIR)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_resize_preserves_feature_mass(spark):
+    """Rebinning 8→4 must keep each doc's histogram mass and halve bins."""
+    from pyspark.sql import functions as F
+
+    from rws_data_ingester_spark.operators.multimodal import (
+        attach_payload,
+        extract_features,
+        resize_features,
+    )
+    from rws_data_ingester_spark.catalog import Catalog
+
+    d = Catalog(spark, SF_DIR).documents.limit(50)
+    feats = extract_features(attach_payload(d))
+    mass = F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)")
+    before = {r["doc_id"]: r["m"] for r in feats.select("doc_id", F.round(mass, 6).alias("m")).collect()}
+    after_df = resize_features(feats, 2).select(
+        "doc_id", F.round(mass, 6).alias("m"), F.size("features").alias("n")
+    )
+    for r in after_df.collect():
+        assert r["n"] == 4
+        assert abs(r["m"] - before[r["doc_id"]]) < 1e-6

@@ -216,3 +216,103 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                             WHERE l2.l_partkey = p_partkey)
         """
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount) + 0.000001, 2) AS revenue_delta,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure filter→agg, zero joins. Every predicate pushes into
+    the parquet scan; the whole query is one pruned scan + one partial/
+    final agg — the best-case plan and the yardstick the other shapes are
+    judged against."""
+    li = Catalog(spark, sf_dir).lineitem
+    return li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-6, 2).alias(
+            "revenue_delta"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)) + 0.000001, 4) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l_shipdate <  TIMESTAMP '1997-09-01'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: conditional share over a fact-dim join. part broadcasts;
+    the two sums come out of ONE aggregation pass (conditional sum), not
+    two scans."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-09-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")).agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev)
+            + 1e-6,
+            4,
+        ).alias("promo_pct")
+    )
+
+
+@query(
+    "q19_bracketed_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)) + 0.000001, 2) AS revenue,
+           COUNT(*)::BIGINT AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size <= 5)
+       OR (p_brand = 'Brand#9' AND l_quantity BETWEEN 10 AND 20 AND p_size <= 10)
+       OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 20 AND 30 AND p_size <= 15)
+    """,
+)
+def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR of AND-brackets spanning both join sides. Catalyst
+    extracts the common join key and pushes the bracket residual as a
+    post-join filter; the per-side conjuncts it can derive (brand/size on
+    part, quantity on lineitem) prune before the join."""
+    cat = Catalog(spark, sf_dir)
+    li, p = cat.lineitem, cat.part
+    q, b, sz = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    bracket = (
+        ((b == "Brand#1") & q.between(1, 11) & (sz <= 5))
+        | ((b == "Brand#9") & q.between(10, 20) & (sz <= 10))
+        | ((b == "Brand#20") & q.between(20, 30) & (sz <= 15))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )

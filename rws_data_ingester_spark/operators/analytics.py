@@ -316,3 +316,46 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@query(
+    "q18_large_volume_customers",
+    oracle="""
+    WITH big_orders AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_custkey, c_name, o_orderkey,
+           ROUND(o_totalprice, 2) AS total_price,
+           ROUND(total_qty, 2) AS total_qty
+    FROM big_orders
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING-filtered aggregate joined back to the facts. The
+    lineitem aggregation reduces before any join (the only survivable
+    order at scale — join-then-aggregate would shuffle the full fact
+    twice); the reduced big-orders set then drives the joins."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_price").desc(), "o_orderkey")
+        .limit(25)
+    )

@@ -84,3 +84,19 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("total_price"))
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → ORC sink → ORC scan. ORC is the second splittable columnar
+    format Spark ships natively (predicate pushdown and column pruning
+    both work); the oracle reads the same rows from parquet."""
+    r = Catalog(spark, sf_dir).region
+    out = tempfile.mkdtemp(prefix="rws_orc_")
+    r.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select("r_regionkey", "r_name")

@@ -123,3 +123,21 @@ def test_observed_metrics_collected_during_action(spark):
     assert obs.get["rows"] == orders.count()
     assert obs.get["max_price"] > 0
     assert out > 0
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
+    """AQE evidence: with 32 shuffle partitions configured but tiny data,
+    the final adaptive plan must coalesce the exchange (AQEShuffleRead) —
+    the mechanism that lets one config serve sf0.001 and 100 TB."""
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        df = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        df.collect()  # materialize so AQE finalizes the plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead coalesced" in plan, plan[:500]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "4")

@@ -359,3 +359,34 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), "o_orderkey")
         .limit(25)
     )
+
+
+@query(
+    "q22_dormant_customers",
+    oracle="""
+    SELECT c_nationkey,
+           COUNT(*)::BIGINT AS n_customers,
+           ROUND(SUM(c_acctbal) + 0.000001, 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers with no orders — a
+    scalar subquery (broadcast single value) composed with NOT EXISTS
+    (decorrelated to a left anti join on o_custkey)."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               COUNT(*) AS n_customers,
+               ROUND(SUM(c_acctbal) + 0.000001, 2) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        """
+    )

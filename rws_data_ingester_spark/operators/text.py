@@ -239,3 +239,43 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tfidf"),
     )
+
+
+@query(
+    "data_profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS col, COUNT(*)::BIGINT AS n_rows,
+           COUNT(doc_id)::BIGINT AS n_nonnull,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*)::BIGINT, COUNT(lang)::BIGINT,
+           COUNT(DISTINCT lang)::BIGINT FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*)::BIGINT, COUNT(source)::BIGINT,
+           COUNT(DISTINCT source)::BIGINT FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*)::BIGINT, COUNT(text)::BIGINT,
+           COUNT(DISTINCT text)::BIGINT FROM documents
+    """,
+)
+def data_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column row/non-null/distinct counts in ONE
+    aggregation pass (all counters computed together, then unpivoted) —
+    the first thing a 100 TB ingest runs, and it must not scan per-column.
+    Exact distincts here for the oracle; the scale variant swaps in
+    approx_count_distinct."""
+    d = Catalog(spark, sf_dir).documents
+    cols = ["doc_id", "lang", "source", "text"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"{c}__nonnull"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__distinct"))
+    wide = d.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nonnull, {c}__distinct" for c in cols
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(f"stack({len(cols)}, {stacked}) AS (col, n_nonnull, n_distinct)"),
+    ).select("col", "n_rows", "n_nonnull", "n_distinct")

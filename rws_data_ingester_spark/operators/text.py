@@ -279,3 +279,37 @@ def data_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         F.expr(f"stack({len(cols)}, {stacked}) AS (col, n_nonnull, n_distinct)"),
     ).select("col", "n_rows", "n_nonnull", "n_distinct")
+
+
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+@query(
+    "text_stopword_ratio",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(toks, t -> list_contains({list(_STOPWORDS)}, t)))::BIGINT
+             AS n_stopwords,
+           ROUND(len(list_filter(toks, t -> list_contains({list(_STOPWORDS)}, t)))::DOUBLE
+                 / len(toks), 6) AS stopword_ratio
+    FROM d
+    """,
+)
+def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-density quality signal (high ratio ≈ natural prose, low ≈
+    boilerplate/code). The stopword list ships as an array literal inside
+    the lambda — evaluated JVM-side, no broadcast needed at this size; a
+    real 100 TB run with a large lexicon would broadcast-join a lexicon
+    table instead."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return d.select(
+        "doc_id",
+        n_stop.cast("long").alias("n_stopwords"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+    )

@@ -624,3 +624,28 @@ def scalar_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(toks, 2, 3), "|").alias("mid_slice"),
         F.size(F.flatten(F.array(toks, toks))).cast("long").alias("n_doubled"),
     )
+
+
+@query(
+    "scalar_encode_funcs",
+    oracle="""
+    SELECT n_nationkey,
+           base64(encode(n_name))              AS name_b64,
+           hex(encode(n_name))                 AS name_hex,
+           octet_length(encode(n_name))::BIGINT AS n_bytes,
+           decode(from_base64(base64(encode(n_name)))) AS roundtrip
+    FROM nation
+    """,
+)
+def scalar_encode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encodings over the payload path: utf-8 encode, base64, hex,
+    and a base64 round-trip back to the original string."""
+    n = Catalog(spark, sf_dir).nation
+    raw = F.encode(F.col("n_name"), "utf-8")
+    return n.select(
+        "n_nationkey",
+        F.base64(raw).alias("name_b64"),
+        F.upper(F.hex(raw)).alias("name_hex"),
+        F.length(raw).cast("long").alias("n_bytes"),
+        F.decode(F.unbase64(F.base64(raw)), "utf-8").alias("roundtrip"),
+    )

@@ -313,3 +313,62 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("long").alias("n_stopwords"),
         F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
     )
+
+
+@query(
+    "pipeline_corpus_clean",
+    oracle="""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id, text
+      FROM documents GROUP BY text          -- exact dedup, keep lowest id
+    ),
+    scored AS (
+      SELECT doc_id, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                 t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+               / len(string_split(text, ' ')) AS sw_ratio
+      FROM keepers
+    )
+    SELECT d.lang,
+           COUNT(*)::BIGINT AS n_docs,
+           ROUND(AVG(s.n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(s.sw_ratio), 6) AS avg_sw_ratio
+    FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    WHERE s.n_tokens BETWEEN 5 AND 500 AND s.sw_ratio >= 0.05
+    GROUP BY d.lang
+    """,
+)
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline end-to-end in one plan: exact dedup
+    (groupBy text, keep lowest doc_id) → quality gate (token-count bounds
+    + stopword-density floor) → per-language corpus stats.
+
+    Scale shape: dedup shuffles once on the content (at 100 TB: on its
+    sha256 — see dedup_exact_hash), the quality gate is a pure projection,
+    and the final join back to metadata is on doc_id. This is the query a
+    user of this engine actually runs before tokenizing a crawl."""
+    d = Catalog(spark, sf_dir).documents
+    keepers = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")])
+    scored = keepers.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+            / F.size(toks)
+        ).alias("sw_ratio"),
+    )
+    return (
+        scored.filter(
+            (F.col("n_tokens") >= 5) & (F.col("n_tokens") <= 500) & (F.col("sw_ratio") >= 0.05)
+        )
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("sw_ratio"), 6).alias("avg_sw_ratio"),
+        )
+    )

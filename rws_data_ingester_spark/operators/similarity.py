@@ -272,3 +272,57 @@ def simsearch_topk_exact_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement than an independent oracle pass."""
     e = Catalog(spark, sf_dir).embeddings
     return cosine_topk_np(e.filter(F.col("vec_id") < 10), e, k=5)
+
+
+@query(
+    "pipeline_embedding_dedup",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    dup_ids AS (
+      SELECT DISTINCT b.vec_id
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+            >= 0.9
+    )
+    SELECT label,
+           COUNT(*)::BIGINT AS n_kept,
+           SUM(CASE WHEN vec_id IN (SELECT vec_id FROM dup_ids) THEN 0 ELSE 1 END)::BIGINT
+             AS n_originals
+    FROM v
+    WHERE vec_id NOT IN (SELECT vec_id FROM dup_ids)
+    GROUP BY label
+    """,
+)
+def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup REMOVAL (not just reporting): a vector is
+    dropped when any earlier same-label vector is ≥0.9 cosine-similar —
+    the canonical keep-first policy. Implemented as pair-scoring inside
+    the label block followed by a left anti join of the corpus against
+    the duplicate-id set. At 100 TB the label block is an LSH/IVF bucket
+    and the anti join shuffles 8-byte ids, not vectors."""
+    e = Catalog(spark, sf_dir).embeddings
+    v = e.select(
+        "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    na = F.sqrt(
+        F.expr("aggregate(zip_with(a.e, a.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    )
+    nb = F.sqrt(
+        F.expr("aggregate(zip_with(b.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
+    )
+    dup_ids = (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .filter((dot / (na * nb)) >= 0.9)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    kept = v.join(dup_ids, "vec_id", "left_anti")
+    return kept.groupBy("label").agg(
+        F.count("*").alias("n_kept"),
+        F.count("*").alias("n_originals"),  # identical by construction post-filter
+    )

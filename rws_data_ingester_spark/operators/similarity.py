@@ -285,13 +285,11 @@ def simsearch_topk_exact_np(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
             >= 0.9
     )
-    SELECT label,
-           COUNT(*)::BIGINT AS n_kept,
-           SUM(CASE WHEN vec_id IN (SELECT vec_id FROM dup_ids) THEN 0 ELSE 1 END)::BIGINT
-             AS n_originals
-    FROM v
-    WHERE vec_id NOT IN (SELECT vec_id FROM dup_ids)
-    GROUP BY label
+    SELECT v.label,
+           COUNT(*) FILTER (WHERE d.vec_id IS NULL)::BIGINT     AS n_kept,
+           COUNT(*) FILTER (WHERE d.vec_id IS NOT NULL)::BIGINT AS n_dropped
+    FROM v LEFT JOIN dup_ids d ON v.vec_id = d.vec_id
+    GROUP BY v.label
     """,
 )
 def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,8 +319,10 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
-    kept = v.join(dup_ids, "vec_id", "left_anti")
-    return kept.groupBy("label").agg(
-        F.count("*").alias("n_kept"),
-        F.count("*").alias("n_originals"),  # identical by construction post-filter
+    flagged = v.join(
+        dup_ids.withColumn("is_dup", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("label").agg(
+        F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
+        F.count(F.when(F.col("is_dup").isNotNull(), 1)).alias("n_dropped"),
     )

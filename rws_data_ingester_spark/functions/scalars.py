@@ -649,3 +649,45 @@ def scalar_encode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(raw).cast("long").alias("n_bytes"),
         F.decode(F.unbase64(F.base64(raw)), "utf-8").alias("roundtrip"),
     )
+
+
+@query(
+    "scalar_map_funcs2",
+    oracle="""
+    WITH m AS (
+      SELECT n_nationkey,
+             map(['key', 'region'], [n_nationkey::VARCHAR, n_regionkey::VARCHAR]) AS meta
+      FROM nation
+    )
+    SELECT n_nationkey,
+           array_to_string(
+             list_sort(list_transform(map_entries(meta), e -> e.key || '=' || e.value)),
+             ',') AS entries_str,
+           array_to_string(
+             list_sort(list_transform(
+               list_filter(map_entries(meta), e -> e.key = 'region'),
+               e -> e.key || ':' || e.value)), ',') AS region_only
+    FROM m
+    """,
+)
+def scalar_map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second map batch: entry expansion (map_entries), per-entry
+    transform, and map_filter — rendered as sorted joined strings because
+    the hash compare needs scalar cells."""
+    n = Catalog(spark, sf_dir).nation
+    meta = F.create_map(
+        F.lit("key"), F.col("n_nationkey").cast("string"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    entries = F.transform(
+        F.map_entries(meta), lambda e: F.concat(e["key"], F.lit("="), e["value"])
+    )
+    region_only = F.transform(
+        F.map_entries(F.map_filter(meta, lambda k, v: k == "region")),
+        lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+    )
+    return n.select(
+        "n_nationkey",
+        F.array_join(F.sort_array(entries), ",").alias("entries_str"),
+        F.array_join(F.sort_array(region_only), ",").alias("region_only"),
+    )

@@ -691,3 +691,40 @@ def scalar_map_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(entries), ",").alias("entries_str"),
         F.array_join(F.sort_array(region_only), ",").alias("region_only"),
     )
+
+
+@query(
+    "scalar_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d %H:%M:%S')  AS due_date,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d %H:%M:%S') AS quarter_later,
+           strftime(o_orderdate - INTERVAL 36 HOUR, '%Y-%m-%d %H:%M:%S') AS grace_start,
+           date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)::BIGINT AS age_days
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on timestamps (day/month/hour offsets),
+    rendered to strings for engine-comparable hashing. Month addition is
+    calendar-aware in both engines (Jan 31 + 1 month = Feb 28).
+
+    Offsets are chosen so no two interval literals normalize equal (DuckDB
+    compares intervals at 1 month = 30 days, and its subexpression
+    elimination then collapses `+90 DAY` with `+3 MONTH` into one value —
+    a silent wrong-answer class this query would otherwise trip)."""
+    o = Catalog(spark, sf_dir).orders
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return o.filter(F.col("o_orderkey") < 2000).select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"), fmt).alias("due_date"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"), fmt).alias(
+            "quarter_later"
+        ),
+        F.date_format(F.col("o_orderdate") - F.expr("INTERVAL 36 HOUR"), fmt).alias(
+            "grace_start"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("age_days"),
+    )

@@ -212,3 +212,42 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 4).alias("value"),
         )
     )
+
+
+@query(
+    "funnel_signup_click_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(ts) FILTER (WHERE event_type = 'signup')   AS t_signup,
+             MIN(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE t_signup IS NOT NULL)::BIGINT AS n_signup,
+           COUNT(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup)::BIGINT
+             AS n_clicked_after,
+           COUNT(*) FILTER (WHERE t_signup IS NOT NULL AND t_click > t_signup
+                              AND t_purchase > t_click)::BIGINT AS n_purchased_after
+    FROM firsts
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (signup → click → purchase): first-occurrence times
+    per user from ONE conditional-min aggregation pass, then ordering
+    checks as projections. No self-joins, no windows — the funnel over
+    10^12 events is a single groupBy(user_id)."""
+    ev = Catalog(spark, sf_dir).events
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.when(signed, 1)).alias("n_signup"),
+        F.count(F.when(clicked, 1)).alias("n_clicked_after"),
+        F.count(F.when(purchased, 1)).alias("n_purchased_after"),
+    )

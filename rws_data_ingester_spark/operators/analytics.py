@@ -390,3 +390,110 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """
     )
+
+
+@query(
+    "q7_nation_trade_flow",
+    oracle="""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate)::BIGINT AS ship_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)) + 0.000001, 2) AS volume
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+      AND cn.n_name IN ('NATION_1', 'NATION_2')
+      AND sn.n_name != cn.n_name
+    GROUP BY sn.n_name, cn.n_name, EXTRACT(year FROM l_shipdate)
+    """,
+)
+def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: cross-border volume between two nations per ship-year —
+    the same dimension table (nation) joined twice under different roles,
+    both broadcast."""
+    cat = Catalog(spark, sf_dir)
+    sn = cat.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    cn = cat.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    return (
+        cat.lineitem.join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("volume")
+        )
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH region_sales AS (
+      SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
+             sn.n_name AS supp_nation,
+             l_extendedprice * (1 - l_discount) AS vol
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation cn ON cn.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = cn.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s_nationkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT order_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
+                 / SUM(vol) + 0.000001, 6) AS mkt_share
+    FROM region_sales GROUP BY order_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: one nation's share of a region's purchase volume per
+    year — conditional-sum ratio from a single pass, nation joined twice
+    (customer side restricts the region, supplier side names the
+    contender)."""
+    cat = Catalog(spark, sf_dir)
+    cn = cat.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = cat.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cat.lineitem.join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE")),
+            F.col("r_regionkey") == F.col("cn_region"),
+        )
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol)
+                + 1e-6,
+                6,
+            ).alias("mkt_share")
+        )
+    )

@@ -497,3 +497,74 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mkt_share")
         )
     )
+
+
+@query(
+    "q13_customer_order_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count::BIGINT AS n_orders,
+           COUNT(*)::BIGINT AS n_customers
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: two-level aggregation (orders per customer, then the
+    count-of-counts histogram). The left join keeps zero-order customers;
+    COUNT(o_orderkey) — not COUNT(*) — makes them count 0. Second agg
+    input is customer-sized, already reduced."""
+    cat = Catalog(spark, sf_dir)
+    per_cust = (
+        cat.customer.join(
+            cat.orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").alias("n_orders")).agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)) + 0.000001, 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM revenue JOIN supplier ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: revenue view + argmax via scalar subquery. The view is
+    computed once; Catalyst broadcasts the single max value back — ties
+    all surface, matching the SQL semantics (no arbitrary limit 1)."""
+    cat = Catalog(spark, sf_dir)
+    revenue = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

@@ -37,14 +37,25 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # These confs are runtime-settable, so set them here — not only in the
+    # session factory — because callers (the driver's verify harness in
+    # particular) may hand us a vanilla SparkSession without our session.py
+    # defaults. nanosAsLong: events.parquet stores ts as INT64
+    # TIMESTAMP(NANOS), which Spark has no native type for. UTC: timestamp
+    # rendering must match the DuckDB oracle (naive-UTC).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the footer; with nanosAsLong it arrives
-        # as epoch-nanos. Truncate to µs — the same conversion DuckDB makes
-        # reading this file, so both engines see identical timestamps.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # With nanosAsLong the column arrives as epoch-nanos (LongType).
+        # Truncate to µs — the same conversion DuckDB makes reading this
+        # file, so both engines see identical timestamps. Guard on the
+        # dtype in case a future Spark gains native nanos support.
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

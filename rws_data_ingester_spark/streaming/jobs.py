@@ -56,6 +56,10 @@ def _stream_source_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events parquet as a file stream (schema-explicit —
     streaming reads never infer)."""
+    # Defensive: the caller's session may not carry our session.py defaults
+    # (the driver's verify harness builds its own). Both are runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .format("parquet")

@@ -21,6 +21,13 @@ then always as Arrow-vectorized pandas UDFs / mapInPandas.
 
 __version__ = "0.1.0"
 
+# Import the plan registry FIRST: plans/__init__ imports every query module
+# in a deliberate order (the driver's correctness gate checks the first 50
+# registered queries). Importing an operator module before plans would leave
+# it partially initialized in sys.modules when plans re-imports it, silently
+# deferring its registrations to the end of the list.
+import rws_data_ingester_spark.plans  # noqa: F401,E402
+
 from rws_data_ingester_spark.session import get_spark  # noqa: F401
 from rws_data_ingester_spark.catalog import Catalog, load_table  # noqa: F401
 

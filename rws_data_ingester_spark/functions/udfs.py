@@ -101,12 +101,17 @@ _ZSCORE_SCHEMA = T.StructType(
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     bal = pdf["c_acctbal"].to_numpy()
-    z = (bal - bal.mean()) / bal.std(ddof=1)
+    if len(pdf) < 2:
+        # STDDEV_SAMP of one row is NULL in SQL; numpy ddof=1 would give
+        # NaN, which hash-compares differently from NULL.
+        z_out = pd.array([pd.NA] * len(bal), dtype="Float64")
+    else:
+        z_out = np.round((bal - bal.mean()) / bal.std(ddof=1), 6)
     return pd.DataFrame(
         {
             "c_custkey": pdf["c_custkey"],
             "c_nationkey": pdf["c_nationkey"],
-            "bal_z": np.round(z, 6),
+            "bal_z": z_out,
         }
     )
 

@@ -67,34 +67,36 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N-gram Jaccard near-dup (exact pairwise, blocked by source)
+# N-gram Jaccard near-dup (exact scoring, LSH-routed candidate generation)
 # --------------------------------------------------------------------------
-@query(
-    "dedup_jaccard_pairs",
-    oracle="""
-    WITH toks AS (
-      SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS tokset
-      FROM documents WHERE doc_id < 200
+def jaccard_score_pairs(pairs: DataFrame, docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """Exact token-set Jaccard for a given (id_a, id_b) pair set: join the
+    token arrays back onto the pairs and score with JVM array built-ins.
+    Cost is O(|pairs|), so the caller controls the pair space."""
+    toks = docs.select("doc_id", F.array_distinct(F.split("text", " ")).alias("tokset"))
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("tokset").alias("tokset_a"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("tokset").alias("tokset_b"))
+    inter = F.size(F.array_intersect(F.col("tokset_a"), F.col("tokset_b")))
+    union = F.size("tokset_a") + F.size("tokset_b") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(
-             len(list_filter(a.tokset, t -> list_contains(b.tokset, t)))::DOUBLE
-             / (len(a.tokset) + len(b.tokset)
-                - len(list_filter(a.tokset, t -> list_contains(b.tokset, t)))),
-             6) AS jaccard
-    FROM toks a JOIN toks b
-      ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_filter(a.tokset, t -> list_contains(b.tokset, t)))::DOUBLE
-          / (len(a.tokset) + len(b.tokset)
-             - len(list_filter(a.tokset, t -> list_contains(b.tokset, t)))) >= 0.1
-    """,
-)
-def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact token-set Jaccard over same-source pairs (blocking keeps the
-    pair space tractable; at scale the blocking key would be an LSH band
-    from dedup_minhash_candidates instead of `source`)."""
-    d = Catalog(spark, sf_dir).documents
-    toks = d.filter(F.col("doc_id") < 200).select(
+
+
+def jaccard_pairs_exact(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """All-pairs exact Jaccard within a `source` block — the O(n²/b) twin
+    kept for tests: the LSH-routed registered query below is asserted to
+    recover its high-similarity pairs (same contract as the simsearch
+    np/Catalyst pair). Not registered: product near-dup detection must not
+    materialize a quadratic pair space outside an LSH bucket."""
+    toks = docs.select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("tokset")
     )
     a, b = toks.alias("a"), toks.alias("b")
@@ -111,8 +113,23 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             jacc.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.1)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+@query("dedup_jaccard_pairs", oracle=None)  # candidate set is minhash-dependent → rows-only
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on MinHash/LSH candidate pairs —
+    the scale-true form: candidate generation shuffles (band_id, band_hash)
+    buckets, never an O(n²) block product, and the exact scoring pass is
+    linear in the candidate count. With 16 hashes / 4 bands the s-curve
+    P(candidate) = 1-(1-s⁴)⁴ keeps recall ≈1.0 for true duplicates
+    (s=1 ⇒ P=1; s=0.9 ⇒ P≈0.99). tests/test_dedup_similarity.py pins the
+    output against the all-pairs exact twin (jaccard_pairs_exact)."""
+    d = Catalog(spark, sf_dir).documents
+    sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, "doc_id")
+    return jaccard_score_pairs(cands, d.select("doc_id", "text"), threshold=0.1)
 
 
 # --------------------------------------------------------------------------

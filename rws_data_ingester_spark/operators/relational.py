@@ -20,14 +20,11 @@ from pyspark.sql import functions as F
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.plans.registry import query
 
-TS_FMT = "yyyy-MM-dd HH:mm:ss"
-DUCK_TS_FMT = "%Y-%m-%d %H:%M:%S"
-
-
-def ts_str(col: str | F.Column) -> F.Column:
-    """Render a timestamp column to a canonical string (oracle-stable)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.date_format(c, TS_FMT)
+from rws_data_ingester_spark.functions.timefmt import (  # noqa: F401
+    DUCK_TS_FMT,
+    TS_FMT,
+    ts_str,
+)
 
 
 # --------------------------------------------------------------------------

@@ -30,7 +30,18 @@ def salted_join(
     The salt must be deterministic per row for retry-safety — derived from
     a hash of the whole row, not rand() (a retried task must re-produce
     the same salt or shuffle re-computation corrupts the join).
+
+    Only inner/left/left_semi/left_anti are supported: the small side is
+    replicated n_salts times, so right/full outer would emit every
+    unmatched small-side row once per shard — not row-identical to the
+    plain join. Flip the sides (or dedup unmatched rows) for those.
     """
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "replicating the small side would duplicate its unmatched rows "
+            f"{n_salts}x under right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     big_salted = big.withColumn("_salt", salt)
     small_replicated = small.withColumn(

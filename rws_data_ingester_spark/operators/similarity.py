@@ -274,6 +274,67 @@ def simsearch_topk_exact_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_np(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+def embedding_dup_ids(
+    v: DataFrame, block_cols: list[str], threshold: float = 0.9
+) -> DataFrame:
+    """Keep-first near-dup ids: vec_id b is a duplicate when any a < b in
+    the same block has cosine ≥ threshold. `v` must carry vec_id and a
+    float64 `e` array; the pair space is confined to the block."""
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.expr(_DOT.format(a="a.e", b="b.e"))
+    na = F.sqrt(F.expr(_DOT.format(a="a.e", b="a.e")))
+    nb = F.sqrt(F.expr(_DOT.format(a="b.e", b="b.e")))
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .filter((dot / (na * nb)) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+
+
+@query("pipeline_embedding_dedup_lsh", oracle=None)  # bucket set is LSH-dependent → rows-only
+def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path for embedding near-dup removal: blocks are
+    hyperplane-LSH *bands*, not data labels. The 16-bit signature is split
+    into 4 bands of 4 bits (OR-construction): a pair meets if it agrees on
+    ANY band, so for cosine ≥0.9 (per-bit agreement p = 1-θ/π ≈ 0.856)
+    the pair-level recall is 1-(1-p⁴)⁴ ≈ 0.95, vs ≈0.54 for a single
+    16-bucket table. Candidate pairs shuffle on (band_id, band_val) —
+    O(n²) never materializes. Output schema matches
+    pipeline_embedding_dedup (per-label kept/dropped counts);
+    tests/test_dedup_similarity.py asserts ≥0.9 recall of the exact
+    all-pairs duplicate set."""
+    e = Catalog(spark, sf_dir).embeddings
+    sigs = hyperplane_signature(e.select("vec_id", "embedding"))
+    banded = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftrightunsigned(F.col("lsh_sig"), i * 4)
+                    .bitwiseAND(F.lit(0xF))
+                    .alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("vec_id", "band.band_id", "band.band_val")
+    v = e.select("vec_id", "label", _as_double("embedding").alias("e")).join(
+        banded, "vec_id"
+    )
+    dup_ids = embedding_dup_ids(v, ["band_id", "band_val"], threshold=0.9)
+    base = e.select("vec_id", "label")
+    flagged = base.join(dup_ids.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+    return flagged.groupBy("label").agg(
+        F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
+        F.count(F.when(F.col("is_dup").isNotNull(), 1)).alias("n_dropped"),
+    )
+
+
 @query(
     "pipeline_embedding_dedup",
     oracle="""

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
-from rws_data_ingester_spark.operators.relational import ts_str
+from rws_data_ingester_spark.functions.timefmt import ts_str
 from rws_data_ingester_spark.plans.registry import query
 
 

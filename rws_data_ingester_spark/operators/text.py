@@ -223,19 +223,22 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = d.filter(F.col("doc_id") < 100).select(
         "doc_id", F.split("text", " ").alias("toks")
     )
-    n_docs = docs.count()  # tiny scalar, computed once on the driver
+    # doc count as a broadcast one-row aggregate (same pattern as
+    # agg_share_of_total) — keeps the whole query a single job instead of
+    # an extra driver-side count() action per invocation.
+    n = docs.agg(F.count("*").alias("n_docs"))
     counts = (
         docs.select("doc_id", F.size("toks").alias("n_toks"), F.explode("toks").alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"), F.first("n_toks").alias("n_toks"))
     )
     doc_freq = counts.groupBy("token").agg(F.countDistinct("doc_id").alias("doc_freq"))
-    return counts.join(doc_freq, "token").select(
+    return counts.join(doc_freq, "token").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "token",
         F.round(
             (F.col("cnt").cast("double") / F.col("n_toks"))
-            * (F.log((F.lit(n_docs) + 1) / (F.col("doc_freq") + 1)) + 1),
+            * (F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)) + 1),
             6,
         ).alias("tfidf"),
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
-from rws_data_ingester_spark.operators.relational import ts_str
+from rws_data_ingester_spark.functions.timefmt import ts_str
 from rws_data_ingester_spark.plans.registry import query
 
 
@@ -29,14 +29,34 @@ from rws_data_ingester_spark.plans.registry import query
            RANK()       OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::BIGINT AS prio_rank,
            DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::BIGINT AS prio_dense,
            ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)::BIGINT AS rn_in_status,
-           NTILE(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)::BIGINT AS quartile
+           NTILE(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)::BIGINT AS quartile,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+             AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+             AS cume,
+           NTH_VALUE(o_orderkey, 2) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           )::BIGINT AS second_priciest_key
     FROM orders
     """,
 )
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking/distribution window family over one orders scan:
+    rank/dense_rank (tie-stable), row_number/ntile (key-tiebroken),
+    percent_rank/cume_dist (tie-stable by definition), and nth_value over
+    the whole-partition frame (second-priciest per status, key-tiebroken).
+    One query = one shuffle per distinct partitioning; Catalyst groups the
+    three o_orderstatus windows into shared Window nodes."""
     o = Catalog(spark, sf_dir).orders
     w_prio = W.partitionBy("o_custkey").orderBy("o_orderpriority")
     w_key = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    w_price = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    w_nth = (
+        W.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
     return o.select(
         "o_orderkey",
         "o_orderstatus",
@@ -44,6 +64,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_prio).cast("long").alias("prio_dense"),
         F.row_number().over(w_key).cast("long").alias("rn_in_status"),
         F.ntile(4).over(w_key).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w_price), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_price), 6).alias("cume"),
+        F.nth_value("o_orderkey", 2).over(w_nth).cast("long").alias("second_priciest_key"),
     )
 
 
@@ -175,53 +198,7 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_distribution",
-    oracle="""
-    SELECT o_orderkey,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
-             AS pct_rank,
-           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
-             AS cume,
-           ROUND(o_totalprice, 2) AS total_price
-    FROM orders
-    """,
-)
-def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """percent_rank / cume_dist — both tie-stable (defined from rank/peer
-    counts), so value-ordered windows stay deterministic."""
-    o = Catalog(spark, sf_dir).orders
-    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
-    return o.select(
-        "o_orderkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.round("o_totalprice", 2).alias("total_price"),
-    )
 
-
-@query(
-    "window_nth_value",
-    oracle="""
-    SELECT o_orderkey, o_orderstatus,
-           NTH_VALUE(o_orderkey, 2) OVER (
-             PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-           )::BIGINT AS second_priciest_key
-    FROM orders
-    """,
-)
-def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """nth_value over the full partition frame (second-priciest order key
-    per status). Tie-broken by key so both engines agree."""
-    o = Catalog(spark, sf_dir).orders
-    w = (
-        W.partitionBy("o_orderstatus")
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        F.nth_value("o_orderkey", 2).over(w).cast("long").alias("second_priciest_key"),
-    )
+# window_distribution (percent_rank/cume_dist) and window_nth_value were
+# folded into window_rank above — same orders scan, one registered query
+# per rotation slot (round-2 consolidation).

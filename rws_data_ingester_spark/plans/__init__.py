@@ -9,16 +9,38 @@ so the driver contract and the test suite can never drift apart.
 from rws_data_ingester_spark.plans.registry import REGISTRY, query, oracle_pairs  # noqa: F401
 
 # Import for side effect: each module registers its queries.
+#
+# ORDER MATTERS: the driver's correctness gate checks the first 50
+# registered queries, so modules whose queries have not yet appeared in a
+# CORRECTNESS_r{N}.json go FIRST. Round-1 verified analytics/relational/
+# aggregates (48 green) rotate to the back; round 2 front-loads the
+# LLM-pipeline block (dedup/similarity/text/multimodal), windows,
+# temporal/streaming, scalars, UDFs, and connectors. COVERAGE.md keeps
+# the which-round-verified-what ledger.
 from rws_data_ingester_spark.operators import (  # noqa: F401
-    analytics,
-    relational,
-    aggregates,
-    windows,
-    temporal,
     dedup,
     similarity,
     text,
     multimodal,
+    windows,
+    temporal,
 )
 from rws_data_ingester_spark.functions import scalars, udfs  # noqa: F401
 from rws_data_ingester_spark.sources import connector_queries, ingest_queries  # noqa: F401
+from rws_data_ingester_spark.streaming import stream_queries  # noqa: F401
+from rws_data_ingester_spark.operators import (  # noqa: F401
+    analytics,
+    relational,
+    aggregates,
+)
+
+# Front-promote specific queries into the driver's check window regardless
+# of module order. Round 2: the two queries that ERRORED in round 1 on the
+# events.parquet TIMESTAMP(NANOS) bug (fixed in catalog.load_table) must
+# produce green rows to close the fix.
+_FRONT = ("join_asof_last_click", "set_intersect_all")
+_reordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
+for _n, _q in list(REGISTRY.items()):
+    _reordered.setdefault(_n, _q)
+REGISTRY.clear()
+REGISTRY.update(_reordered)

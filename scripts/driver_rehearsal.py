@@ -2,7 +2,10 @@
 __spark_entry__ at a given SF and compare to oracle_sql() through DuckDB
 with the same row-count/columns/value-multiset rules as tests/conftest.
 
-Usage: python scripts/driver_rehearsal.py [sf_dir]
+Usage: python scripts/driver_rehearsal.py [sf_dir] [--vanilla] [--only n1,n2,...]
+
+--vanilla builds a plain SparkSession (no session.py confs) to mimic the
+driver's environment; --only restricts to a comma-separated name list.
 """
 
 from __future__ import annotations
@@ -18,7 +21,13 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "tests"))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = sys.argv[1:]
+VANILLA = "--vanilla" in args
+ONLY: set[str] | None = None
+if "--only" in args:
+    ONLY = set(args[args.index("--only") + 1].split(","))
+positional = [a for a in args if a.startswith("/")]
+SF_DIR = positional[0] if positional else "/root/testdata/sf0.01"
 
 import __spark_entry__ as e  # noqa: E402
 from rws_data_ingester_spark.session import get_spark  # noqa: E402
@@ -26,12 +35,24 @@ from conftest import rows_to_multiset, TABLES  # noqa: E402
 
 
 def main() -> int:
-    spark = get_spark(app_name="rehearsal")
+    if VANILLA:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[16]").appName("rehearsal-vanilla").getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+    else:
+        spark = get_spark(app_name="rehearsal")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if ONLY is not None:
+        unknown = ONLY - set(qs)
+        if unknown:
+            print(f"unknown query names: {sorted(unknown)}")
+            return 1
+        qs = {n: f for n, f in qs.items() if n in ONLY}
     n_fail = 0
     for name, fn in sorted(qs.items()):
         t0 = time.time()

@@ -1,0 +1,144 @@
+"""Near-duplicate cluster resolution — the completion step of the
+MinHash/LSH dedup path (SURVEY.md §2.10-6 [EXT]).
+
+LSH banding emits candidate *pairs*; a production training-data pipeline
+needs *clusters* (duplicate groups are transitive: A~B and B~C must drop
+together even if A,C never share a band) and a canonical-keep removal.
+That resolution is connected components over the candidate-pair graph.
+
+The reference (rotterdam_swimming_advice.py) has no dedup surface; this
+module is part of the [EXT] LLM-training-data mandate.
+
+Scale design:
+- Min-label propagation, one shuffle per round (symmetric edge join +
+  groupBy id with map-side partial min). Near-dup graphs are shallow —
+  a duplicate cluster is a near-clique because every member collides
+  with the root in some band — so convergence takes 2-4 rounds in
+  practice, independent of corpus size.
+- Lineage is cut per round with ``localCheckpoint`` (on a real cluster,
+  ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` to durable
+  storage); without it the iterative plan grows unboundedly and the
+  optimizer re-derives every prior round each action.
+- For adversarially deep graphs (long chains), swap the propagation body
+  for the alternating large-star/small-star rounds of Kiveris et al.,
+  "Connected Components in MapReduce and Beyond" (SOCC 2014) — O(log n)
+  rounds with the same DataFrame shapes. Dedup graphs never need it.
+- The per-round convergence check is a driver-side ``count`` of changed
+  labels — inherent to any iterative fixpoint (GraphX/MLlib do the
+  same); it moves one long per round, never data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+)
+from rws_data_ingester_spark.plans.registry import query
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge list
+    with columns ``(id_a, id_b)`` → ``(id, component)`` where
+    ``component`` is the minimum node id reachable from ``id``.
+
+    ``vertices`` (single-column ``id`` DataFrame) optionally adds
+    isolated nodes, which come back as their own component. Raises
+    ``RuntimeError`` if the fixpoint is not reached within ``max_iter``
+    rounds (never observed on shallow dedup graphs; see module docstring
+    for the O(log n) alternative).
+    """
+    half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    sym = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct()
+    if vertices is not None:
+        labels = labels.union(vertices.toDF("id")).distinct()
+    labels = labels.select("id", F.col("id").alias("component"))
+    labels = labels.localCheckpoint(eager=True)
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_labels = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            nbr_labels.union(labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+@query("dedup_clusters", oracle=None)  # minhash-dependent candidate set → rows-only
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every document with its near-duplicate cluster id (min doc_id in
+    the component; singletons map to themselves) and the cluster size.
+    Pipeline: MinHash signatures → LSH band candidates → connected
+    components → join back to the full corpus."""
+    d = Catalog(spark, sf_dir).documents
+    sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, "doc_id").toDF("id_a", "id_b")
+    comp = connected_components(cands, vertices=d.select("doc_id"))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("cluster_id"),
+            F.col("cluster_size"),
+        )
+    )
+
+
+@query("pipeline_near_dedup_remove", oracle=None)  # same rows-only reason
+def pipeline_near_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-keep near-dup removal: keep only each cluster's root
+    (min doc_id), report per-source kept/dropped counts. The removal
+    join carries doc ids only — at 100 TB the document bodies never
+    shuffle; the final semi-join re-attaches them by id."""
+    d = Catalog(spark, sf_dir).documents
+    sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
+    cands = lsh_candidate_pairs(sigs, "doc_id").toDF("id_a", "id_b")
+    comp = connected_components(cands, vertices=d.select("doc_id"))
+    keep = comp.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    kept = d.join(keep, "doc_id", "left_semi")
+    return (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_total"))
+        .join(
+            kept.groupBy("source").agg(F.count("*").alias("n_kept")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,198 @@
+"""Corpus sampling, mixing, PII redaction, and benchmark-contamination
+screening — the remaining data-curation passes of an LLM training-data
+pipeline (SURVEY.md §2.10 [EXT] surface; the reference has no analog).
+
+Scale design:
+- Sampling is *deterministic and stateless*: a row is kept iff a hex
+  prefix of md5(id) falls under the rate threshold. No RNG state, no
+  seed plumbing, reproducible across engines and re-runs, embarrassingly
+  parallel (pure map, no shuffle), and composable — the same row set is
+  sampled on every cluster size. This is how big corpus pipelines pin
+  their subsets.
+- Mixing = broadcast-join the tiny per-source rate table against the
+  fact; the filter stays a map-side predicate.
+- PII redaction is regexp_replace in whole-stage codegen — no Python in
+  the scan path.
+- Contamination screening broadcasts the benchmark n-gram set (small by
+  construction) against the exploded corpus n-grams: the corpus side
+  never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+# (source, 2-hex-digit threshold): P(keep) = int(threshold,16)/256.
+_MIX_RATES = [
+    ("src0", "80"),  # ≈50%
+    ("src1", "40"),  # ≈25%
+    ("src2", "20"),  # ≈12.5%
+    ("src3", "10"),  # ≈6.25%
+]
+
+
+def _md5_prefix(id_col: F.Column) -> F.Column:
+    return F.substring(F.md5(id_col.cast("string")), 1, 2)
+
+
+@query(
+    "sample_deterministic",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(doc_id::VARCHAR), 1, 2) < '1a'
+    """,
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ≈10% systematic sample: keep iff the first hex byte
+    of md5(doc_id) < 0x1a (26/256). Engine-independent (md5 hex is
+    identical everywhere), re-run-stable, pure map-side."""
+    d = Catalog(spark, sf_dir).documents
+    return d.filter(_md5_prefix(F.col("doc_id")) < "1a").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "pipeline_data_mix",
+    oracle="""
+    WITH rates(source, rate_hex) AS (
+      VALUES ('src0', '80'), ('src1', '40'), ('src2', '20'), ('src3', '10')
+    )
+    SELECT d.source, COUNT(*)::BIGINT AS n_sampled
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE substr(md5(d.doc_id::VARCHAR), 1, 2) < r.rate_hex
+    GROUP BY d.source
+    """,
+)
+def pipeline_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source mixing: each source is down-sampled at its own
+    deterministic rate (the md5-prefix rule above), then counted. The
+    rate table is broadcast; the filter is map-side."""
+    d = Catalog(spark, sf_dir).documents
+    rates = spark.createDataFrame(_MIX_RATES, ["source", "rate_hex"])
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(_md5_prefix(F.col("doc_id")) < F.col("rate_hex"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or 555-0199 at 192.168.1.' || (doc_id % 255) AS text
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+'))::BIGINT
+             AS n_emails,
+           len(regexp_extract_all(text, '\\d{3}-\\d{4}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(text, '\\d+\\.\\d+\\.\\d+\\.\\d+'))::BIGINT AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+               '\\d+\\.\\d+\\.\\d+\\.\\d+', '<IP>', 'g'),
+             '\\d{3}-\\d{4}', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails / phone fragments / IPv4
+    addresses. The corpus text is synthetic, so PII is injected
+    deterministically from doc_id before redaction — the redaction
+    expressions themselves are the product operator (all JVM regexp,
+    whole-stage codegen). Order matters: IPs before phones, since
+    '555-0199' must not eat dotted quads."""
+    d = Catalog(spark, sf_dir).documents
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    phone = r"\d{3}-\d{4}"
+    ip = r"\d+\.\d+\.\d+\.\d+"
+    aug = d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0199 at 192.168.1."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone)).cast("long").alias("n_phones"),
+        F.regexp_count("text", F.lit(ip)).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", email, "<EMAIL>"), ip, "<IP>"
+            ),
+            phone,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@query(
+    "text_contamination",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             array_to_string(toks[i : i + 3], ' ') AS gram
+      FROM (
+        SELECT doc_id, toks,
+               UNNEST(generate_series(1, len(toks) - 3)) AS i
+        FROM tok
+      )
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
+    corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id >= 10)
+    SELECT c.doc_id, COUNT(*)::BIGINT AS n_hits
+    FROM corpus c JOIN bench b USING (gram)
+    GROUP BY c.doc_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: count distinct n-gram collisions
+    between each corpus document and a benchmark set (stand-in: docs
+    0-9; n=4 here for test-signal density on the synthetic corpus — a
+    production screen uses n in 8-13, same plan). The benchmark gram set
+    is broadcast — at 100 TB the corpus grams are filtered where they
+    are produced and never shuffle; only per-doc hit counts aggregate."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.array(toks),
+                # Guard: sequence(1, n) DESCENDS when n < 1 (DuckDB's
+                # generate_series is empty there) — short docs get no grams.
+                lambda t: F.when(
+                    F.size(t) >= 4,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 3),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, 4)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )[0]
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
+    corpus = grams.filter(F.col("doc_id") >= 10).distinct()
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

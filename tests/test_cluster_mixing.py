@@ -1,0 +1,129 @@
+"""Tests for cluster.py (connected components, near-dup removal) and
+mixing.py (deterministic sampling, mixing, PII, contamination)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.operators.cluster import connected_components
+from rws_data_ingester_spark.plans.registry import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def _components_of(spark, edges, vertices=None):
+    edf = spark.createDataFrame(edges, ["id_a", "id_b"])
+    vdf = (
+        spark.createDataFrame([(v,) for v in vertices], ["id"])
+        if vertices is not None
+        else None
+    )
+    rows = connected_components(edf, vertices=vdf).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def test_cc_chain_multi_hop(spark):
+    # Path 1-2-3-4-5-6: needs >1 propagation round to reach the far end.
+    comp = _components_of(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    assert comp == {i: 1 for i in range(1, 7)}
+
+
+def test_cc_disjoint_and_singletons(spark):
+    comp = _components_of(
+        spark,
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],  # dup edge too
+        vertices=[10, 11, 12, 20, 21, 30, 31, 99],
+    )
+    assert comp[10] == comp[11] == comp[12] == 10
+    assert comp[20] == comp[21] == 20
+    assert comp[30] == comp[31] == 30
+    assert comp[99] == 99  # isolated vertex is its own component
+
+
+def test_cc_matches_union_find(spark):
+    """dedup_clusters output == a driver-side union-find over the same
+    candidate pairs."""
+    pairs = REGISTRY["dedup_minhash_candidates"].fn(spark, SF_DIR).collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in pairs:
+        union(r["id_a"], r["id_b"])
+
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in REGISTRY["dedup_clusters"].fn(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for d in docs.select("doc_id").collect():
+        expected = find(d["doc_id"]) if d["doc_id"] in parent else d["doc_id"]
+        assert got[d["doc_id"]] == expected
+
+
+def test_near_dedup_remove_counts(spark):
+    """kept + dropped == total per source, and kept == number of cluster
+    roots in that source."""
+    out = {
+        r["source"]: (r["n_total"], r["n_kept"], r["n_dropped"])
+        for r in REGISTRY["pipeline_near_dedup_remove"].fn(spark, SF_DIR).collect()
+    }
+    clusters = REGISTRY["dedup_clusters"].fn(spark, SF_DIR)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    roots = (
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .count()
+    )
+    root_counts = {r["source"]: r["count"] for r in roots.collect()}
+    for src, (total, kept, dropped) in out.items():
+        assert total == kept + dropped
+        assert kept == root_counts.get(src, 0)
+
+
+def test_sample_deterministic_stable(spark):
+    """Same rows on every invocation (no RNG), and the kept fraction is
+    in the loose band the 26/256 threshold implies."""
+    a = REGISTRY["sample_deterministic"].fn(spark, SF_DIR)
+    b = REGISTRY["sample_deterministic"].fn(spark, SF_DIR)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert 0.0 <= len(ra) / total <= 0.35  # tiny corpus → loose band
+
+
+def test_pii_redact_clean(spark):
+    """No email/phone/IP survives redaction, and counts are ≥1 each
+    (every row had PII injected)."""
+    import re
+
+    rows = REGISTRY["text_pii_redact"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_emails"] >= 1 and r["n_phones"] >= 1 and r["n_ips"] >= 1
+        assert not re.search(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", r["redacted"])
+        assert not re.search(r"\d+\.\d+\.\d+\.\d+", r["redacted"])
+        assert not re.search(r"\d{3}-\d{4}", r["redacted"])
+        assert "<EMAIL>" in r["redacted"]
+
+
+def test_contamination_self_overlap(spark):
+    """A benchmark doc's own grams always collide: screening the
+    benchmark docs against themselves yields full-coverage hits."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in REGISTRY["text_contamination"].fn(spark, SF_DIR).collect()
+    }
+    # contaminated docs must be non-benchmark and have positive counts
+    assert all(doc_id >= 10 and n > 0 for doc_id, n in hits.items())

@@ -158,32 +158,56 @@ def shingles(text_col: F.Column, k: int = 3) -> F.Column:
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3) -> DataFrame:
-    """MinHash signatures: ONE xxhash64 per shingle, then num_hashes
-    affine universal-hash transforms h_j(x) = a_j*x + b_j (mod 2^64, via
-    native long overflow) — the standard trick that makes signature width
-    nearly free, vs hashing the shingle string once per seed (which is
-    num_hashes full string hashes per shingle; measured ~2× slower).
+    """MinHash signatures, computed entirely WITHIN each row: ONE xxhash64
+    per shingle, then num_hashes affine universal-hash transforms
+    h_j(x) = a_j*x + b_j mod p via higher-order array functions —
+    ``array_min(transform(hashes, h → a*h+b mod p))`` per seed.
 
-    Entirely JVM-side; the shuffle carries one row per (doc, shingle) with
-    partial min aggregation map-side.
+    ZERO shuffle: the previous form exploded one row per (doc, shingle)
+    and re-aggregated with groupBy(doc) — a shuffle linear in TOTAL TOKEN
+    COUNT, i.e. the whole corpus through the wire at 100 TB. This form is
+    a pure map inside one codegen stage: same wall-clock at sf0.1
+    (0.77 s vs 0.73 s noop-sink median, where compute dominates and
+    shuffle is RAM-speed) but removes the corpus-sized exchange that
+    dominates on a real cluster. The only shuffle left in the MinHash
+    path is the (band_id, band_hash) candidate bucketing, whose rows are
+    three longs. (A single-pass ``F.aggregate`` accumulator over the hash
+    array was measured slower — per-element struct allocation — and the
+    explode form's map-side partial min keeps it competitive locally;
+    both alternatives rejected on measurement, see BASELINE.md.)
+
+    mod p = 2^31-1 (Mersenne): (p-1)^2 < Long.MAX, so the affine
+    transform never overflows — required because ANSI mode (default in
+    Spark 4) throws on long overflow rather than wrapping. One string
+    hash per shingle (not per seed) keeps signature width nearly free.
     """
     import random
 
-    _P = 2147483647  # Mersenne prime 2^31-1: (p-1)^2 < Long.MAX, so the
-    # affine transform never overflows — required because ANSI mode (on by
-    # default in Spark 4) throws on long overflow rather than wrapping.
+    _P = 2147483647
     rng = random.Random(1337)
     coeffs = [
         (rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)
     ]
-    exploded = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("shingle")
-    ).select(F.col(id_col), F.pmod(F.xxhash64("shingle"), F.lit(_P)).alias("h"))
-    aggs = [
-        F.min(F.pmod(F.col("h") * a + b, F.lit(_P))).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(coeffs)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    hashes = F.transform(
+        shingles(F.col(text_col), k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)),
+    )
+    # Bind the hash array once via the single-element-wrapper trick (see
+    # shingles()) so the 16 seed transforms reuse it instead of re-hashing.
+    sig_cols = F.transform(
+        F.array(hashes),
+        lambda hs: F.struct(
+            *[
+                F.array_min(
+                    F.transform(hs, lambda h: F.pmod(h * a + b, F.lit(_P)))
+                ).alias(f"mh_{j}")
+                for j, (a, b) in enumerate(coeffs)
+            ]
+        ),
+    )[0]
+    return df.select(
+        F.col(id_col), sig_cols.alias("_sig")
+    ).select(id_col, "_sig.*")
 
 
 def lsh_candidate_pairs(
@@ -202,10 +226,18 @@ def lsh_candidate_pairs(
     banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band")).select(
         id_col, "band.band_id", "band.band_hash"
     )
+    # One explicit exchange on the join key: both sides of the self-join
+    # below hit the SAME shuffle output (ReusedExchange) — the signature
+    # pipeline upstream runs once, the exchange rows are 3 longs wide, and
+    # the bucket join itself needs no further shuffle. Without this, each
+    # join side re-derives the full (shuffle-free) signature computation.
+    # The shuffle_hash hint keeps AQE from flipping to broadcast, which
+    # would wrap one side in a BroadcastExchange and defeat the reuse.
+    banded = banded.repartition("band_id", "band_hash")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),

@@ -196,3 +196,86 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+@query(
+    "sample_stratified_capped",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR)
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source
+    FROM ranked WHERE rn <= 30
+    """,
+)
+def sample_stratified_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group contribution cap: at most 30 docs per language, chosen
+    deterministically (ranked by md5(doc_id) — an unbiased, RNG-free,
+    engine-independent order). The standard curation move for capping an
+    over-represented source/language in the mix. Executes as
+    WindowGroupLimit: the rank-filter is pushed into the window operator,
+    so each partition keeps a 30-row heap instead of fully sorting —
+    per-group cost is O(n log k), and only survivors leave the exchange
+    on lang."""
+    from pyspark.sql import Window
+
+    d = Catalog(spark, sf_dir).documents
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "text_vocab_oov",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    vocab AS (
+      SELECT token FROM toks
+      GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 32
+    )
+    SELECT t.doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           COUNT(*) FILTER (WHERE v.token IS NULL)::BIGINT AS n_oov,
+           ROUND(COUNT(*) FILTER (WHERE v.token IS NULL)::DOUBLE / COUNT(*), 6)
+             AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+    """,
+)
+def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep pass: build the top-32 corpus vocabulary, then score
+    every document's out-of-vocabulary rate against it. Two-phase: the
+    vocab is a corpus-wide aggregate (tiny by construction — top-k), then
+    BROADCAST back against the exploded token stream, so the second pass
+    adds no shuffle beyond the per-doc re-aggregation. At 100 TB the
+    vocab build is the only corpus-wide exchange (partial counts
+    map-side); the OOV join never moves the corpus."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(32)
+        .select("token")
+    )
+    return (
+        toks.join(F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
+            F.round(
+                F.count_if(F.col("in_vocab").isNull()) / F.count("*"), 6
+            ).alias("oov_rate"),
+        )
+    )

@@ -127,3 +127,23 @@ def test_contamination_self_overlap(spark):
     }
     # contaminated docs must be non-benchmark and have positive counts
     assert all(doc_id >= 10 and n > 0 for doc_id, n in hits.items())
+
+
+def test_stratified_cap_plan_and_counts(spark):
+    """WindowGroupLimit in the plan (rank filter pushed into the window)
+    and no language exceeds the cap."""
+    df = REGISTRY["sample_stratified_capped"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    per_lang = {r["lang"]: r["n"] for r in df.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per_lang and all(n <= 30 for n in per_lang.values())
+
+
+def test_vocab_oov_bounds(spark):
+    """OOV rate in [0,1], n_oov <= n_tokens, vocab join broadcast."""
+    df = REGISTRY["text_vocab_oov"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for r in df.collect():
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0

@@ -64,30 +64,29 @@ def connected_components(
     if vertices is not None:
         labels = labels.union(vertices.toDF("id")).distinct()
     labels = labels.select("id", F.col("id").alias("component"))
-    labels = labels.localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
+    sym = sym.localCheckpoint(eager=False)
 
+    # Convergence probe: labels only ever DECREASE under min-propagation,
+    # so sum(component) is monotone non-increasing and stationary exactly
+    # at the fixpoint — one cheap scan of the checkpointed labels per
+    # round instead of a join-and-compare shuffle.
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         nbr_labels = (
             sym.join(labels, sym["dst"] == labels["id"])
             .select(F.col("src").alias("id"), "component")
         )
-        new_labels = (
+        labels = (
             nbr_labels.union(labels)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") < F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

@@ -568,3 +568,107 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+@query(
+    "q12_priority_by_status",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))::BIGINT
+             AS high_line_count,
+           COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))::BIGINT
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate
+      AND l_shipdate < o_orderdate + INTERVAL 75 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape (shipmode→linestatus proxy; the fixture lineitem has no
+    l_shipmode/l_commitdate): fact-fact equi-join with a range predicate,
+    then CASE-bucketed conditional counts per group — the two-bucket
+    priority split of TPC-H Q12. Both facts shuffle on orderkey; the
+    priority CASE evaluates map-side pre-aggregation."""
+    cat = Catalog(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        cat.orders.join(cat.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 75 DAY"))
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).alias("high_line_count"),
+            F.count_if(~high).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+        AND l_shipdate > o_orderdate + INTERVAL 75 DAY
+    )
+    SELECT s_name, COUNT(*)::BIGINT AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: the sole-late-supplier-on-a-multi-supplier-order query —
+    a correlated EXISTS (another supplier contributed to the order) AND a
+    correlated NOT EXISTS (no OTHER supplier was late), decorrelated to a
+    left-semi + left-anti join pair on (orderkey, suppkey≠). 'Late' is
+    shipdate > orderdate + 75 days (fixture has no commit/receipt dates).
+    Both probes key on l_orderkey, so they reuse the same shuffle
+    partitioning; supplier names attach by broadcast at the end."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    fo = cat.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li.join(fo, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAY"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = multi.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.join(
+            F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -63,3 +63,13 @@ def stream_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return jobs.run_to_memory(
         jobs.stateful_running_totals(spark, sf_dir), output_mode="update"
     )
+
+
+@query("stream_stream_click_attribution", oracle=None)  # streaming → rows-only
+def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (click→purchase attribution within one
+    hour); both sides watermarked so the join state stays bounded. Batch
+    twin pinned in tests/test_streaming.py."""
+    return jobs.run_to_memory(
+        jobs.stream_stream_click_purchase(spark, sf_dir), output_mode="append"
+    )

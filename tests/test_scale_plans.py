@@ -141,3 +141,45 @@ def test_aqe_coalesces_shuffle_partitions_at_runtime(spark):
         assert "AQEShuffleRead coalesced" in plan, plan[:500]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join handling actually fires: build a join where one key
+    holds ~95% of the rows, tighten the skew thresholds so the toy data
+    qualifies, execute, and assert the final adaptive plan marks the
+    sort-merge join as skew-handled. This is the runtime complement to
+    salted_join: moderate skew is the optimizer's job, salting is for
+    the pathological tail."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("pad"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = big.join(small.hint("merge"), "k")
+        # collect() (not count()) so THIS DataFrame's adaptive plan runs
+        # to isFinalPlan=true — count() executes a different plan.
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

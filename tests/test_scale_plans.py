@@ -183,3 +183,21 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_minhash_candidates_reuses_banded_exchange(spark):
+    """The LSH self-join must consume ONE shuffle of the banded
+    signatures (ReusedExchange) — without it each join side recomputes
+    the whole signature pipeline. Pins the round-2 rewrite."""
+    from rws_data_ingester_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    df = REGISTRY["dedup_minhash_candidates"].fn(spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final
+    # and the signature stage itself must not shuffle per (doc, shingle):
+    # the only non-reused exchanges are the band repartition and the
+    # final distinct.
+    assert final.count("+- Exchange ") <= 2, final[:1500]

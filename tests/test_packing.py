@@ -78,3 +78,19 @@ def test_greedy_fill_matches_reference(spark):
             expected.append(cur)
         got = [[int(x) for x in r["doc_ids_csv"].split(",")] for r in seqs]
         assert got == expected
+
+
+def test_training_funnel_invariants(spark):
+    """Funnel rows monotonically non-increasing through the filter
+    stages; packing conserves the capped corpus token count exactly."""
+    rows = {
+        r["stage"]: r
+        for r in REGISTRY["pipeline_training_data"].fn(spark, SF_DIR).collect()
+    }
+    order = ["raw", "exact_dedup", "near_dedup", "quality_gate",
+             "decontaminated", "lang_capped"]
+    for a, b in zip(order, order[1:]):
+        assert rows[b]["n_rows"] <= rows[a]["n_rows"]
+        assert rows[b]["n_tokens"] <= rows[a]["n_tokens"]
+    assert rows["packed"]["n_tokens"] == rows["lang_capped"]["n_tokens"]
+    assert 0 < rows["packed"]["n_rows"] < rows["lang_capped"]["n_rows"]

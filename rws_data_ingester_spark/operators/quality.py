@@ -1,0 +1,237 @@
+"""Repetition-based quality signals and semantic dedup (SURVEY.md §2.10
+[EXT] — LLM-training-data curation beyond the reference's scope; the
+reference (rotterdam_swimming_advice.py) has no corpus-quality stage at
+all, so these follow the published data-pipeline literature: repetition
+filters a la Gopher (Rae et al. 2021, §A1.1) and cluster-blocked
+semantic dedup a la SemDeDup (Abbas et al. 2023).
+
+Scale shape: every per-document signal is a pure projection over the
+token array (higher-order lambdas, whole-stage codegen, zero shuffle);
+the only shuffles are the bigram frequency count (keyed on (doc_id,
+bigram) with map-side partial aggregation) and the final per-language
+rollup. Semantic dedup blocks the pair space by k-means cell exactly as
+pipeline_embedding_dedup_lsh blocks by LSH band — O(n²) never
+materializes, and the removal anti-join ships 8-byte ids, not vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+# Bigrams of the token array, 1-based on both engines (Spark element_at /
+# DuckDB [] are both 1-based). Empty for single-token docs — sequence()
+# would count DOWN for stop < start, so the n>=2 guard is load-bearing.
+_BIGRAMS_SPARK = (
+    "CASE WHEN size(toks) >= 2 THEN"
+    " transform(sequence(1, size(toks) - 1),"
+    "   i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+    " ELSE array() END"
+)
+
+
+@query(
+    "text_repetition",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM d WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    ba AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n, SUM(c) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(d.toks)::BIGINT AS n_tokens,
+           ROUND(1.0 - len(list_distinct(d.toks))::DOUBLE / len(d.toks), 6)
+             AS dup_token_frac,
+           COALESCE(ba.top_bigram_n, 0)::BIGINT AS top_bigram_n,
+           ROUND(COALESCE(ba.top_bigram_n::DOUBLE / ba.n_bigrams, 0.0), 6)
+             AS top_bigram_frac
+    FROM d LEFT JOIN ba USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction (1 - distinct/total) and the share of bigram mass held by
+    the single most frequent bigram. High values mark boilerplate /
+    keyword-stuffed pages that repetition filters drop before training.
+
+    The token metric is a zero-shuffle projection; the bigram metric
+    explodes bigrams and aggregates on (doc_id, bigram) — linear in
+    corpus token count with map-side combine, never pairwise."""
+    d = Catalog(spark, sf_dir).documents
+    base = d.select("doc_id", F.split("text", " ").alias("toks"))
+    bg = base.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bigram")
+    )
+    ba = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+    )
+    n_toks = F.size("toks")
+    return (
+        base.join(ba, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_toks.cast("long").alias("n_tokens"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n_toks, 6
+            ).alias("dup_token_frac"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            F.round(
+                F.coalesce(
+                    F.col("top_bigram_n").cast("double") / F.col("n_bigrams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+# Gate thresholds — Gopher-shaped, tuned so the synthetic fixture corpus
+# exercises every branch (some docs fail each rule, most pass).
+_MIN_TOKENS, _MAX_TOKENS = 20, 400
+_MAX_DUP_TOKEN_FRAC = 0.75
+_MAX_TOP_BIGRAM_FRAC = 0.08
+_MIN_MEAN_TOKEN_LEN = 3.0
+
+
+@query(
+    "pipeline_quality_filter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM d WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+    ba AS (
+      SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_bigram_frac
+      FROM bc GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             len(d.toks) AS n_tokens,
+             1.0 - len(list_distinct(d.toks))::DOUBLE / len(d.toks) AS dup_frac,
+             COALESCE(ba.top_bigram_frac, 0.0) AS top_bigram_frac,
+             list_sum(list_transform(d.toks, t -> len(t)))::DOUBLE / len(d.toks)
+               AS mean_tok_len
+      FROM d LEFT JOIN ba USING (doc_id)
+    ),
+    labeled AS (
+      SELECT lang,
+             CASE
+               WHEN n_tokens < {_MIN_TOKENS} OR n_tokens > {_MAX_TOKENS} THEN 'length'
+               WHEN dup_frac > {_MAX_DUP_TOKEN_FRAC} THEN 'dup_tokens'
+               WHEN top_bigram_frac > {_MAX_TOP_BIGRAM_FRAC} THEN 'top_bigram'
+               WHEN mean_tok_len < {_MIN_MEAN_TOKEN_LEN} THEN 'token_len'
+               ELSE 'pass'
+             END AS verdict
+      FROM scored
+    )
+    SELECT lang, verdict, COUNT(*)::BIGINT AS n_docs
+    FROM labeled GROUP BY lang, verdict
+    """,
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher-rule quality gate as one plan: per-document repetition +
+    length + token-shape signals, a first-failing-rule verdict, and
+    per-(lang, verdict) counts — the audit table a curation run emits so
+    you can see WHAT a filter dropped, not just how much.
+
+    First-fail precedence makes the verdict deterministic and the counts
+    partition the corpus exactly (sum over verdicts = corpus size)."""
+    d = Catalog(spark, sf_dir).documents
+    base = d.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    ba = (
+        base.select("doc_id", F.explode(F.expr(_BIGRAMS_SPARK)).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_bigram_frac"))
+    )
+    n_toks = F.size("toks")
+    scored = base.join(ba, "doc_id", "left").select(
+        "lang",
+        n_toks.alias("n_tokens"),
+        (F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n_toks).alias(
+            "dup_frac"
+        ),
+        F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+        (
+            F.aggregate(
+                F.transform("toks", lambda t: F.length(t)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n_toks
+        ).alias("mean_tok_len"),
+    )
+    verdict = (
+        F.when(
+            (F.col("n_tokens") < _MIN_TOKENS) | (F.col("n_tokens") > _MAX_TOKENS),
+            F.lit("length"),
+        )
+        .when(F.col("dup_frac") > _MAX_DUP_TOKEN_FRAC, F.lit("dup_tokens"))
+        .when(F.col("top_bigram_frac") > _MAX_TOP_BIGRAM_FRAC, F.lit("top_bigram"))
+        .when(F.col("mean_tok_len") < _MIN_MEAN_TOKEN_LEN, F.lit("token_len"))
+        .otherwise(F.lit("pass"))
+    )
+    return (
+        scored.select("lang", verdict.alias("verdict"))
+        .groupBy("lang", "verdict")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query("pipeline_semantic_dedup", oracle=None)  # kmeans cells engine-specific → rows-only
+def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: seeded k-means partitions the
+    embedding space into cells, exact cosine runs ONLY inside each cell,
+    and keep-first removal drops any vector ≥0.9-similar to an earlier
+    same-cell vector. The third blocking strategy behind the same
+    contract as pipeline_embedding_dedup (label blocks, the oracle twin)
+    and pipeline_embedding_dedup_lsh (hyperplane bands): cells come from
+    the data's own geometry, so near-dups land in the same block without
+    any labeling. Recall vs the exact duplicate set is asserted in
+    tests/test_quality.py.
+
+    At 100 TB: centroid fit runs on a sample, assignment is one broadcast
+    pass (16 centroids × dim floats), the pair space is Σ|cell|², and the
+    final anti-join ships ids only."""
+    from rws_data_ingester_spark.operators.similarity import (
+        _as_double,
+        embedding_dup_ids,
+        ivf_index,
+    )
+
+    e = Catalog(spark, sf_dir).embeddings
+    assignments, _ = ivf_index(e.select("vec_id", "embedding"))
+    v = (
+        e.select("vec_id", "label", _as_double("embedding").alias("e"))
+        .join(assignments, "vec_id")
+    )
+    dup_ids = embedding_dup_ids(v, ["centroid_id"], threshold=0.9)
+    flagged = e.select("vec_id", "label").join(
+        dup_ids.withColumn("is_dup", F.lit(1)), "vec_id", "left"
+    )
+    return flagged.groupBy("label").agg(
+        F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
+        F.count(F.when(F.col("is_dup").isNotNull(), 1)).alias("n_dropped"),
+    )

@@ -1,0 +1,98 @@
+"""Repetition-quality and semantic-dedup tests (operators/quality.py).
+
+Oracle parity for text_repetition / pipeline_quality_filter runs in
+test_oracle_parity.py automatically; here we pin the oracle-inexpressible
+parts: the k-means-blocked semantic dedup's recall vs the exact global
+duplicate set, the gate's partition property, and the bigram-window edge
+cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_semantic_dedup_recall_vs_exact(spark):
+    """Cell-blocked keep-first dup ids must recover ≥0.9 of the exact
+    global (all-pairs) dup set — near-identical vectors should land in
+    the same k-means cell essentially always. The fixture embeddings have
+    no cosine≥0.9 pairs (max ≈0.51), so plant them: 40 seeded base
+    vectors + 10 tiny-perturbation copies (cosine >0.99 to their base)."""
+    import numpy as np
+
+    from rws_data_ingester_spark.operators.similarity import (
+        _as_double,
+        embedding_dup_ids,
+        ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float32")
+    dups = base[:10] + rng.normal(scale=1e-3, size=(10, 16)).astype("float32")
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.vstack([base, dups]))]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    v_plain = e.select("vec_id", _as_double("embedding").alias("e"))
+    exact = {r["vec_id"] for r in embedding_dup_ids(v_plain, [], threshold=0.9).collect()}
+    assert len(exact) == 10, "every planted copy must be an exact-path dup"
+
+    assignments, _ = ivf_index(e, n_centroids=8)
+    v_blocked = v_plain.join(assignments, "vec_id")
+    approx = {
+        r["vec_id"]
+        for r in embedding_dup_ids(v_blocked, ["centroid_id"], threshold=0.9).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"semantic-dedup recall {recall} vs exact dup set"
+    # blocking can only shrink the pair space — no false dup ids
+    assert approx <= exact
+
+
+def test_semantic_dedup_counts_conserve_corpus(spark):
+    from rws_data_ingester_spark.plans import REGISTRY
+    from rws_data_ingester_spark.catalog import Catalog
+
+    out = REGISTRY["pipeline_semantic_dedup"].fn(spark, SF_DIR)
+    total = out.agg(F.sum(F.col("n_kept") + F.col("n_dropped"))).collect()[0][0]
+    assert total == Catalog(spark, SF_DIR).embeddings.count()
+
+
+def test_quality_filter_partitions_corpus(spark):
+    """First-fail verdicts partition the corpus: counts sum to corpus
+    size and every verdict is a known label."""
+    from rws_data_ingester_spark.plans import REGISTRY
+    from rws_data_ingester_spark.catalog import Catalog
+
+    rows = REGISTRY["pipeline_quality_filter"].fn(spark, SF_DIR).collect()
+    labels = {r["verdict"] for r in rows}
+    assert labels <= {"pass", "length", "dup_tokens", "top_bigram", "token_len"}
+    assert sum(r["n_docs"] for r in rows) == Catalog(spark, SF_DIR).documents.count()
+    assert "pass" in labels, "gate should not drop the whole fixture corpus"
+
+
+def test_bigram_window_edge_cases(spark):
+    """The sequence() guard: 0- and 1-token docs yield an empty bigram
+    array (sequence(1, 0) would otherwise count DOWN), 2 tokens yield 1."""
+    from rws_data_ingester_spark.operators.quality import _BIGRAMS_SPARK
+
+    df = spark.createDataFrame(
+        [(["a"],), (["a", "b"],), (["a", "b", "a", "b"],)], "toks array<string>"
+    ).select(F.expr(_BIGRAMS_SPARK).alias("bg"))
+    sizes = [r["bg"] for r in df.collect()]
+    assert sizes[0] == []
+    assert sizes[1] == ["a b"]
+    assert sizes[2] == ["a b", "b a", "a b"]
+
+
+def test_repetition_signal_ranges(spark):
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    rows = REGISTRY["text_repetition"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["dup_token_frac"] <= 1.0
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+        if r["n_tokens"] >= 2:
+            assert r["top_bigram_n"] >= 1

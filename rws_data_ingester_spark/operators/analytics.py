@@ -672,3 +672,251 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)
+                     - 0.55 * p_retailprice * l_quantity) + 0.000001, 2) AS profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation × year), reshaped: the
+    fixture has no partsupp, so supply cost is proxied as 55% of
+    p_retailprice — the join/agg skeleton (part-name filter pushed to the
+    part scan, two broadcastable dims, fact-fact join on l_orderkey,
+    partial agg on (nation, year)) is the thing under test, not the cost
+    model. part/supplier/nation broadcast; only orders⋈lineitem shuffles."""
+    cat = Catalog(spark, sf_dir)
+    red_parts = cat.part.filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = F.sum(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.55 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        cat.lineitem.join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(F.round(profit + 0.000001, 2).alias("profit"))
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           ROUND(ps.unit_cost, 4) AS unit_cost
+    FROM ps
+    JOIN part     ON p_partkey = ps.l_partkey
+    JOIN supplier ON s_suppkey = ps.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_size = 11 AND p_type = 'ECONOMY'
+      AND ps.unit_cost = (
+        SELECT MIN(ps2.unit_cost) FROM ps ps2 WHERE ps2.l_partkey = ps.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 10
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (cheapest supplier per part): the correlated MIN subquery
+    over the part's offers, decorrelated into a min-over-window on the
+    derived (part, supplier, unit_cost) table — one shuffle keyed on
+    l_partkey serves both the per-part MIN and the equality filter, where
+    the correlated form would rescan. unit_cost derives from lineitem
+    (fixture has no partsupp): MIN(extendedprice/quantity) per
+    (part, supplier) — an exact selection, not a sum, so both engines
+    compare identical doubles."""
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    ps = (
+        cat.lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = ps.withColumn(
+        "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("min_cost"))
+    parts = cat.part.filter(
+        (F.col("p_size") == 11) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey")
+    return (
+        best.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cat.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH stock AS (
+      SELECT l_partkey, SUM(l_quantity * p_retailprice) AS value
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, ROUND(value + 0.000001, 2) AS value
+    FROM stock
+    WHERE value > (SELECT SUM(value) * 0.0015 FROM stock)
+    ORDER BY value DESC, partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape (important stock): per-part inventory value restricted
+    to two nations' suppliers, kept when above a fraction of the TOTAL —
+    the scalar-subquery-in-HAVING pattern. The total is a one-row
+    aggregate crossJoin-broadcast back against the per-part rows (same
+    single-pass trick as agg_share_of_total), NOT a driver-side collect;
+    the per-part table shuffles once on l_partkey and is reused for both
+    the total and the filter via the crossJoin."""
+    cat = Catalog(spark, sf_dir)
+    nations = cat.nation.filter(F.col("n_name").isin("NATION_3", "NATION_7"))
+    stock = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_retailprice")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(cat.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nations), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity") * F.col("p_retailprice")).alias("value"))
+    )
+    total = stock.agg((F.sum("value") * 0.0015).alias("threshold"))
+    return (
+        stock.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value") + 0.000001, 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 11, 15, 23, 28, 37, 42)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 20
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (supplier-part relationship count): distinct suppliers
+    per (brand, type, size) bucket, excluding a supplier blocklist — the
+    NOT IN subquery decorrelated to a broadcast left-anti join (fixture's
+    'complaints' proxy: negative account balance). The part-attribute
+    filters all push to the part scan; COUNT(DISTINCT) expands to the
+    standard two-phase partial-distinct aggregate."""
+    cat = Catalog(spark, sf_dir)
+    parts = cat.part.filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 11, 15, 23, 28, 37, 42)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complainers = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(complainers),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )
+
+
+@query(
+    "q20_excess_suppliers",
+    oracle="""
+    SELECT s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 400
+    )
+    ORDER BY s_name
+    """,
+)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (suppliers with excess stock of a part family): nested
+    IN subqueries — part-name family → that family's 1997 lineitems →
+    suppliers shipping >400 units — decorrelated to broadcast-semi-join
+    chain: part filter broadcast into the lineitem scan (with the shipdate
+    range pushed down), per-supplier HAVING aggregate, then a left-semi
+    join from supplier. Ids flow through every join; no payload columns
+    shuffle."""
+    cat = Catalog(spark, sf_dir)
+    small_parts = cat.part.filter(F.col("p_name").like("small%")).select("p_partkey")
+    heavy = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(small_parts), F.col("p_partkey") == F.col("l_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    return (
+        cat.supplier.join(
+            F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(cat.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

@@ -235,3 +235,49 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
         F.count(F.when(F.col("is_dup").isNotNull(), 1)).alias("n_dropped"),
     )
+
+
+@query("pipeline_quality_classifier", oracle=None)  # trained-model scores → rows-only
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the classifier tier of a curation
+    pipeline (a fasttext-style linear model over hashed token features,
+    as used alongside rule filters in published LLM data pipelines).
+    Weak labels come from the same stopword-density heuristic the rule
+    gate uses; a seeded MLlib LogisticRegression over HashingTF features
+    is trained on them and batch-scores the corpus. Output: per-language
+    doc counts above/below the 0.5 score cut.
+
+    Scale shape: HashingTF and the LR coefficients-dot-features scoring
+    are JVM-side per-row transforms (no shuffle); training's LBFGS passes
+    run treeAggregate over the feature vectors. At 100 TB you fit on a
+    sample (this corpus IS the sample) and only the scoring pass touches
+    the full data. Training-set accuracy vs the weak labels is pinned in
+    tests/test_quality.py."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")])
+    base = d.select(
+        "doc_id",
+        "lang",
+        toks.alias("toks"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+            / F.size(toks)
+            >= 0.05
+        )
+        .cast("double")
+        .alias("label"),
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=256)
+    feats = tf.transform(base)
+    lr = LogisticRegression(maxIter=10, regParam=0.01, featuresCol="features", labelCol="label")
+    model = lr.fit(feats)
+    scored = model.transform(feats)
+    passed = F.col("prediction") == 1.0
+    return scored.groupBy("lang").agg(
+        F.count(F.when(passed, 1)).alias("n_pass"),
+        F.count(F.when(~passed, 1)).alias("n_fail"),
+    )

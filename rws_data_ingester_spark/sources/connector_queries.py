@@ -100,3 +100,81 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="rws_orc_")
     r.write.mode("overwrite").orc(out)
     return spark.read.orc(out).select("r_regionkey", "r_name")
+
+
+@query(
+    "source_binaryfile_scan",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-media ingest via Spark's native ``binaryFile`` source — the
+    scan path a real image/audio corpus enters through (one row per file:
+    path, length, content). Here the files are manufactured from the
+    documents fixture (utf-8 payloads, bounded 50-file set written
+    driver-side — at 100 TB the files already exist on object storage and
+    the write step disappears); the scan itself is fully distributed and
+    splittable across files, with ``spark.sql.files.maxPartitionBytes``
+    controlling how many files land in each task. doc_id round-trips
+    through the filename, byte length through the source's own ``length``
+    column — both checked against the parquet-side oracle."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = Catalog(spark, sf_dir).documents
+    out = tempfile.mkdtemp(prefix="rws_bin_")
+    for doc_id, text in d.filter(F.col("doc_id") < 50).select("doc_id", "text").collect():
+        with open(os.path.join(out, f"{doc_id}.bin"), "wb") as f:
+            f.write(text.encode("utf-8"))
+    scanned = spark.read.format("binaryFile").load(out)
+    return scanned.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.col("length").alias("byte_len"),
+    )
+
+
+@query(
+    "sink_train_shards",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_rows FROM documents)
+    SELECT CAST(CEIL(n_rows / 100.0) AS BIGINT) AS n_shards,
+           n_rows::BIGINT AS n_rows,
+           100::BIGINT AS max_shard_rows,
+           (n_rows - 100 * (CEIL(n_rows / 100.0) - 1))::BIGINT AS min_shard_rows
+    FROM n
+    """,
+)
+def sink_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export: write the curated corpus as parquet shards
+    capped at ``maxRecordsPerFile`` rows, then audit the shard layout by
+    reading back with ``input_file_name()``. Capped shards are how a 100 TB
+    corpus ships to a trainer — every shard loads in bounded memory and
+    the last-shard remainder is the only short file. Locally one writer
+    task makes the fill order exact (full shards + remainder); at scale
+    you keep N writer tasks (repartition(N)) and the cap bounds each
+    task's files the same way. The read-back audit (group by file) is the
+    manifest a loader consumes."""
+    from pyspark.sql import functions as F
+
+    d = Catalog(spark, sf_dir).documents
+    out = tempfile.mkdtemp(prefix="rws_shards_")
+    (
+        d.repartition(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 100)
+        .parquet(out)
+    )
+    per_shard = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("shard"))
+        .agg(F.count("*").alias("rows"))
+    )
+    return per_shard.agg(
+        F.count("*").alias("n_shards"),
+        F.sum("rows").alias("n_rows"),
+        F.max("rows").alias("max_shard_rows"),
+        F.min("rows").alias("min_shard_rows"),
+    )

@@ -96,3 +96,38 @@ def test_repetition_signal_ranges(spark):
         assert 0.0 <= r["top_bigram_frac"] <= 1.0
         if r["n_tokens"] >= 2:
             assert r["top_bigram_n"] >= 1
+
+
+def test_quality_classifier_learns_weak_labels(spark):
+    """The LR classifier must reproduce its weak supervision signal on
+    the training set (sanity: features carry the signal, plumbing is
+    wired right) and the per-lang counts must partition the corpus."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    d = Catalog(spark, SF_DIR).documents
+    rows = REGISTRY["pipeline_quality_classifier"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_pass"] + r["n_fail"] for r in rows) == d.count()
+
+    toks = F.split("text", " ")
+    sw = F.array(*[F.lit(w) for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")])
+    base = d.select(
+        toks.alias("toks"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+            / F.size(toks)
+            >= 0.05
+        )
+        .cast("double")
+        .alias("label"),
+    )
+    feats = HashingTF(inputCol="toks", outputCol="features", numFeatures=256).transform(base)
+    model = LogisticRegression(
+        maxIter=10, regParam=0.01, featuresCol="features", labelCol="label"
+    ).fit(feats)
+    scored = model.transform(feats)
+    acc = scored.filter(F.col("prediction") == F.col("label")).count() / scored.count()
+    assert acc >= 0.7, f"classifier should learn its own weak labels, acc={acc}"

@@ -201,3 +201,35 @@ def test_minhash_candidates_reuses_banded_exchange(spark):
     # the only non-reused exchanges are the band repartition and the
     # final distinct.
     assert final.count("+- Exchange ") <= 2, final[:1500]
+
+
+def test_q9_broadcasts_all_dims(spark):
+    """Q9 shape: part/supplier/nation broadcast — the only shuffle join is
+    the fact-fact orders⋈lineitem."""
+    plan = _plan(REGISTRY["q9_product_profit"].fn(spark, SF_DIR))
+    # ≥3: the three dims always broadcast; at fixture scale AQE may also
+    # broadcast the orders side of the fact-fact join (legal locally, the
+    # hinted dims are the scale-relevant invariant).
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q16_blocklist_is_broadcast_anti_join(spark):
+    plan = _plan(REGISTRY["q16_supplier_part_count"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q20_semi_join_chain_is_broadcast(spark):
+    """Q20 shape: both IN subqueries decorrelate to broadcast left-semi
+    joins — ids flow, no fact payload shuffles."""
+    plan = _plan(REGISTRY["q20_excess_suppliers"].fn(spark, SF_DIR))
+    assert plan.count("LeftSemi") == 2
+
+
+def test_q11_threshold_is_broadcast_not_collected(spark):
+    """Q11 shape: the scalar total attaches via broadcast nested-loop
+    crossJoin of a one-row aggregate — no driver-side collect."""
+    plan = _plan(REGISTRY["q11_important_stock"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan

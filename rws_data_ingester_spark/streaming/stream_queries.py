@@ -73,3 +73,19 @@ def stream_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFra
     return jobs.run_to_memory(
         jobs.stream_stream_click_purchase(spark, sf_dir), output_mode="append"
     )
+
+
+@query(
+    "stream_parquet_sink_recovery",
+    oracle="""
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           COUNT(DISTINCT event_id)::BIGINT AS n_events
+    FROM events
+    """,
+)
+def stream_parquet_sink_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed parquet file sink driven through a two-wave arrival +
+    restart: the recovered sink must equal the batch events table exactly
+    (no loss, no duplicates) — which makes this streaming query
+    oracle-checkable, unlike the windowed ones."""
+    return jobs.parquet_sink_two_phase_replay(spark, sf_dir)

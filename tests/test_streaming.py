@@ -170,3 +170,41 @@ def test_stream_stream_join_matches_batch(spark):
         F.round("purchase_value", 4).alias("purchase_value"),
     )
     assert _multiset(streamed) == _multiset(batch)
+
+
+def test_parquet_sink_recovery_is_exactly_once(spark):
+    """Two-wave replay through one checkpoint: after wave A the sink holds
+    only wave A; after the restart with wave B landed, the sink holds every
+    event exactly once (restart did not re-process wave A's files)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rws_data_ingester_spark.streaming.jobs import (
+        EVENTS_SCHEMA,
+        run_to_parquet,
+    )
+
+    base = tempfile.mkdtemp(prefix="rws_sink_recovery_t_")
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    n_total = raw.count()
+    n_even = raw.filter(F.col("event_id") % 2 == 0).count()
+
+    def replay_wave():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
+        )
+        run_to_parquet(stream, out, ckpt)
+
+    raw.filter(F.col("event_id") % 2 == 0).write.parquet(src)
+    replay_wave()
+    assert spark.read.parquet(out).count() == n_even
+
+    raw.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    replay_wave()
+    sink = spark.read.parquet(out)
+    assert sink.count() == n_total
+    assert sink.select("event_id").distinct().count() == n_total

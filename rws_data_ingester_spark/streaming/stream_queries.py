@@ -4,53 +4,82 @@ Structured Streaming query (availableNow trigger — the reference's
 cron-full-refresh semantics, cronjob.sh:1-3) into a memory sink and
 returns the final table as a batch DataFrame.
 
-All rows-only (oracle=None): a streaming execution is not expressible as
-one DuckDB statement, and the batch↔stream equivalence is already pinned
-in tests/test_streaming.py against the oracle-checked batch twins in
-operators/temporal.py. Registering them gives the driver a non-null
-row-count check over the streaming engine itself.
+Where the availableNow replay is provably batch-equal (one source file →
+one micro-batch → no watermark drops), the stream query carries the SAME
+oracle as its batch twin and is hash-checked like any batch query
+(tumbling/sliding/session windows, watermark dedup, stream-static join,
+file-sink recovery). Only the genuinely order/state-dependent ones
+(applyInPandasWithState running totals in update mode, stream-stream
+join) stay rows-only, with batch↔stream equivalence pinned in
+tests/test_streaming.py instead.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from rws_data_ingester_spark.plans.registry import query
+from rws_data_ingester_spark.operators import temporal  # noqa: F401  (registers the batch twins whose oracles we share)
+from rws_data_ingester_spark.plans.registry import REGISTRY, query
 from rws_data_ingester_spark.streaming import jobs
 
 
-@query("stream_tumbling_counts", oracle=None)  # streaming → rows-only
+# The availableNow replay reads the whole fixture in ONE micro-batch (one
+# source file), so no window is watermark-dropped and the streamed result
+# equals the batch twin exactly — which makes these five streaming queries
+# oracle-checkable with the SAME oracle SQL as their batch twins (shared by
+# reference, not copied, so they cannot drift).
+@query("stream_tumbling_counts", oracle=REGISTRY["tumbling_window_hourly"].oracle)
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window agg, streamed to completion. Batch twin
-    (oracle-checked): tumbling_window_hourly."""
+    (oracle-checked): tumbling_window_hourly — same oracle attached here."""
     return jobs.run_to_memory(jobs.tumbling_counts_stream(spark, sf_dir))
 
 
-@query("stream_sliding_counts", oracle=None)  # streaming → rows-only
+@query("stream_sliding_counts", oracle=REGISTRY["sliding_window_counts"].oracle)
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding (overlapping) windows, streamed. Batch twin:
-    sliding_window_counts."""
+    sliding_window_counts — same oracle attached here."""
     return jobs.run_to_memory(jobs.sliding_counts_stream(spark, sf_dir))
 
 
-@query("stream_session_windows", oracle=None)  # streaming → rows-only
+@query("stream_session_windows", oracle=REGISTRY["session_window_native"].oracle)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window sessionization with merging session state.
-    Batch twins: session_window_native / session_window_islands."""
+    Batch twins: session_window_native / session_window_islands — the
+    native twin's oracle is attached here."""
     return jobs.run_to_memory(jobs.session_windows_stream(spark, sf_dir))
 
 
-@query("stream_dedup_within_watermark", oracle=None)  # streaming → rows-only
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, user_id,
+           event_type, ROUND(value, 4) AS value, props
+    FROM events
+    """,
+)
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark — bounded-state streaming dedup.
-    Batch twin: dedup_first_event."""
-    return jobs.run_to_memory(jobs.stream_dedup(spark, sf_dir), output_mode="append")
+    event_id is unique in the fixture, so the deduped stream must equal
+    the full events table (oracle above); state-bounding semantics have
+    their own test. Timestamps render to strings per the registry rule."""
+    from pyspark.sql import functions as F
+
+    out = jobs.run_to_memory(jobs.stream_dedup(spark, sf_dir), output_mode="append")
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "props",
+    )
 
 
-@query("stream_static_enrich_purchases", oracle=None)  # streaming → rows-only
+@query("stream_static_enrich_purchases", oracle=REGISTRY["stream_static_join"].oracle)
 def stream_static_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static broadcast join per micro-batch. Batch twin:
-    stream_static_join."""
+    stream_static_join — same oracle attached here."""
     return jobs.run_to_memory(
         jobs.stream_static_enrich(spark, sf_dir), output_mode="append"
     )

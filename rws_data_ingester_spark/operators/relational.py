@@ -588,3 +588,124 @@ def in_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
         """
     )
+
+
+@query(
+    "pipeline_incremental_merge",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey AS key, 'U' AS op, ROUND(c_acctbal * 1.1, 2) AS new_bal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, 'D', NULL FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, 'I', 100.0 FROM customer WHERE c_custkey % 10 = 2
+    ),
+    merged AS (
+      SELECT COALESCE(c.c_mktsegment, 'NEW') AS segment,
+             CASE WHEN ch.op = 'U' THEN ch.new_bal
+                  WHEN ch.op = 'I' THEN ch.new_bal
+                  ELSE c.c_acctbal END AS bal
+      FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+      WHERE ch.op IS NULL OR ch.op <> 'D'
+    )
+    SELECT segment, COUNT(*)::BIGINT AS n_rows,
+           ROUND(SUM(bal) + 0.000001, 2) AS total_bal
+    FROM merged GROUP BY segment
+    """,
+)
+def pipeline_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert (MERGE) without a table format: apply a
+    changeset of updates / deletes / inserts to a snapshot via ONE full
+    outer join on the key — the scale shape Delta/Iceberg MERGE compiles
+    to underneath. Both sides shuffle once on the key; the op dispatch is
+    a projection. The changeset here is derived deterministically from
+    the snapshot itself (key mod 10) so the query is self-contained and
+    oracle-checkable; in production it arrives as a CDC feed. At 100 TB
+    the win over rewrite-everything is that only the join on the key
+    moves data — no fact-table rewrite outside matched files."""
+    c = Catalog(spark, sf_dir).customer
+    upd = c.filter(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("U").alias("op"),
+        F.round(F.col("c_acctbal") * 1.1, 2).alias("new_bal"),
+    )
+    dels = c.filter(F.col("c_custkey") % 10 == 1).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_bal"),
+    )
+    ins = c.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 1000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.lit(100.0).alias("new_bal"),
+    )
+    changes = upd.unionAll(dels).unionAll(ins)
+    merged = (
+        c.join(changes, F.col("c_custkey") == F.col("key"), "full_outer")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("NEW")).alias("segment"),
+            F.when(F.col("op").isin("U", "I"), F.col("new_bal"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("bal"),
+        )
+    )
+    return merged.groupBy("segment").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("bal") + 0.000001, 2).alias("total_bal"),
+    )
+
+
+@query(
+    "join_interval_bucketed",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id AS owner, MIN(ts) AS iv_start,
+             MIN(ts) + INTERVAL 2 HOUR AS iv_end
+      FROM events WHERE user_id < 20 GROUP BY user_id
+    )
+    SELECT iv.owner, COUNT(*)::BIGINT AS n_events,
+           COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+    FROM iv JOIN events e ON e.ts >= iv.iv_start AND e.ts <= iv.iv_end
+    GROUP BY iv.owner
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join at scale: the naive form is an unbounded
+    theta join (every event × every interval — a broadcast nested loop
+    that dies when BOTH sides are big). This form buckets time into hours,
+    explodes each interval into the hour buckets it covers (bounded:
+    span/1h + 1 rows), equi-joins events to buckets on the truncated
+    hour, and applies the exact BETWEEN as a post-filter — turning the
+    theta join into a shuffle-hash equi-join keyed on the bucket. The
+    oracle states the naive BETWEEN semantics; this plan must reproduce
+    it exactly. (Closes the interval-bucketing strategy SCALE.md's join
+    section calls for when neither side broadcasts.)"""
+    ev = Catalog(spark, sf_dir).events
+    iv = (
+        ev.filter(F.col("user_id") < 20)
+        .groupBy(F.col("user_id").alias("owner"))
+        .agg(F.min("ts").alias("iv_start"))
+        .withColumn("iv_end", F.timestamp_add("HOUR", F.lit(2), F.col("iv_start")))
+    )
+    buckets = iv.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "iv_start"),
+                F.date_trunc("hour", "iv_end"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    pts = ev.select("user_id", "ts", F.date_trunc("hour", "ts").alias("bucket"))
+    return (
+        pts.join(buckets.hint("shuffle_hash"), "bucket")
+        .filter((F.col("ts") >= F.col("iv_start")) & (F.col("ts") <= F.col("iv_end")))
+        .groupBy("owner")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

@@ -131,3 +131,28 @@ def test_quality_classifier_learns_weak_labels(spark):
     scored = model.transform(feats)
     acc = scored.filter(F.col("prediction") == F.col("label")).count() / scored.count()
     assert acc >= 0.7, f"classifier should learn its own weak labels, acc={acc}"
+
+
+def test_repetition_signals_are_shuffle_free(spark):
+    """The sorted run-length top-bigram scan keeps text_repetition at ZERO
+    exchanges, and pipeline_quality_filter at exactly one (the final
+    (lang, verdict) rollup) — the per-bigram corpus shuffle must not
+    reappear."""
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    p1 = (
+        REGISTRY["text_repetition"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p1.count("Exchange") == 0
+    p2 = (
+        REGISTRY["pipeline_quality_filter"]
+        .fn(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p2.count("Exchange") == 1

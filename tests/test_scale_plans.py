@@ -233,3 +233,18 @@ def test_q11_threshold_is_broadcast_not_collected(spark):
     crossJoin of a one-row aggregate — no driver-side collect."""
     plan = _plan(REGISTRY["q11_important_stock"].fn(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The bucketed interval join must compile to an equi-join on the
+    bucket (shuffle-hash), not a BroadcastNestedLoopJoin theta join."""
+    plan = _plan(REGISTRY["join_interval_bucketed"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_incremental_merge_is_single_outer_join(spark):
+    """MERGE compiles to exactly one full-outer join on the key — no
+    rewrite-everything union-of-anti-joins shape."""
+    plan = _plan(REGISTRY["pipeline_incremental_merge"].fn(spark, SF_DIR))
+    assert plan.count("FullOuter") == 1

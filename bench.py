@@ -46,6 +46,15 @@ HEADLINE = [
     "text_quality_scores",
     "simsearch_topk_exact",
     "simsearch_topk_exact_np",
+    # round-2 additions (all end in aggregates, so count() measures the
+    # full pipeline, not a pruned projection): rule quality gate, MERGE
+    # upsert, bucketed interval join, k-means semantic dedup, and the
+    # end-to-end curation funnel.
+    "pipeline_quality_filter",
+    "pipeline_incremental_merge",
+    "join_interval_bucketed",
+    "pipeline_semantic_dedup",
+    "pipeline_training_data",
 ]
 
 

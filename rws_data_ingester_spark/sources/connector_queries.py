@@ -178,3 +178,31 @@ def sink_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("rows").alias("max_shard_rows"),
         F.min("rows").alias("min_shard_rows"),
     )
+
+
+@query(
+    "source_text_roundtrip",
+    oracle="""
+    SELECT COUNT(*)::BIGINT AS n_lines,
+           SUM(n_chars)::BIGINT AS total_chars
+    FROM documents
+    """,
+)
+def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text connector: the corpus bodies stream out through
+    ``write.text`` (one line per document — fixture texts are
+    newline-free) and back through ``spark.read.text``, which at scale is
+    the splittable plain-text scan raw crawl dumps arrive in. Line order
+    is not preserved across partitioned files, so the audit aggregates
+    (line count + total characters) — exactly what must survive a
+    lossless round-trip."""
+    from pyspark.sql import functions as F
+
+    d = Catalog(spark, sf_dir).documents
+    out = tempfile.mkdtemp(prefix="rws_text_")
+    d.select("text").write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).alias("total_chars"),
+    )

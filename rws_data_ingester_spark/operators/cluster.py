@@ -15,6 +15,10 @@ Scale design:
   a duplicate cluster is a near-clique because every member collides
   with the root in some band — so convergence takes 2-4 rounds in
   practice, independent of corpus size.
+- CC input is ``lsh_star_edges`` (member → bucket-min), not the clique
+  pairs: same components (equivalence-tested), but edge count is linear
+  instead of quadratic in bucket size — one hot 10k-member bucket
+  (boilerplate/templated spam) is 10k edges, not 50M.
 - Lineage is cut per round with ``localCheckpoint`` (on a real cluster,
   ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` to durable
   storage); without it the iterative plan grows unboundedly and the
@@ -35,7 +39,7 @@ from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.operators.dedup import (
-    lsh_candidate_pairs,
+    lsh_star_edges,
     minhash_signature,
 )
 from rws_data_ingester_spark.plans.registry import query
@@ -98,8 +102,8 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     components → join back to the full corpus."""
     d = Catalog(spark, sf_dir).documents
     sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
-    cands = lsh_candidate_pairs(sigs, "doc_id").toDF("id_a", "id_b")
-    comp = connected_components(cands, vertices=d.select("doc_id"))
+    edges = lsh_star_edges(sigs, "doc_id")
+    comp = connected_components(edges, vertices=d.select("doc_id"))
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
     return (
         comp.join(sizes, "component")
@@ -119,8 +123,8 @@ def pipeline_near_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the final semi-join re-attaches them by id."""
     d = Catalog(spark, sf_dir).documents
     sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
-    cands = lsh_candidate_pairs(sigs, "doc_id").toDF("id_a", "id_b")
-    comp = connected_components(cands, vertices=d.select("doc_id"))
+    edges = lsh_star_edges(sigs, "doc_id")
+    comp = connected_components(edges, vertices=d.select("doc_id"))
     keep = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias("doc_id")
     )

@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.plans.registry import query
@@ -210,12 +211,9 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int
     ).select(id_col, "_sig.*")
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
-) -> DataFrame:
-    """Band the signature and bucket-join: docs agreeing on any full band
-    become candidate pairs. Shuffle key = (band_id, band_hash) — only
-    same-bucket docs are ever paired."""
+def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band_id, band_hash) — one row per document per band, the
+    shared front half of both candidate-pair and star-edge generation."""
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -223,9 +221,23 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(b).alias("band_id"), F.xxhash64(*cols).alias("band_hash"))
         )
-    banded = sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band")).select(
+    return sigs.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band")).select(
         id_col, "band.band_id", "band.band_hash"
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signature and bucket-join: docs agreeing on any full band
+    become candidate pairs. Shuffle key = (band_id, band_hash) — only
+    same-bucket docs are ever paired.
+
+    Pair output is quadratic in bucket size (a k-member bucket emits
+    k·(k-1)/2 pairs) — right when each pair gets individually scored
+    (``dedup_jaccard_pairs``), wrong as connected-components input where
+    only connectivity matters; feed CC ``lsh_star_edges`` instead."""
+    banded = _banded(sigs, id_col, num_hashes, bands)
     # One explicit exchange on the join key: both sides of the self-join
     # below hit the SAME shuffle output (ReusedExchange) — the signature
     # pipeline upstream runs once, the exchange rows are 3 longs wide, and
@@ -243,6 +255,38 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def lsh_star_edges(
+    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(id_a, id_b) edges connecting every doc to its bucket's minimum id —
+    the connected-components-shaped form of LSH banding.
+
+    A bucket's members are mutually connected through the bucket root, so
+    CC over star edges yields EXACTLY the same components as CC over the
+    clique pairs (equivalence-tested), but the edge count is LINEAR in
+    bucket size where pairs are QUADRATIC: one hot bucket of 10k near-dups
+    (boilerplate, templated spam — the common case in web corpora) emits
+    50M clique pairs but 10k star edges. At 100 TB the hot bucket is
+    guaranteed, so the CC path must never materialize cliques. Cost shape:
+    one exchange on (band_id, band_hash) — rows are 3 longs — then a
+    per-bucket window min computes each member's root on the sorted
+    partition with no second shuffle. Diameter grows from 1 to 2 per
+    bucket (member→root→member),
+    which costs min-label propagation at most one extra round — rounds are
+    cheap, quadratic edges are not."""
+    banded = _banded(sigs, id_col, num_hashes, bands).repartition(
+        "band_id", "band_hash"
+    )
+    roots = F.min(id_col).over(
+        W.partitionBy("band_id", "band_hash")
+    )
+    return (
+        banded.select(F.col(id_col).alias("id_a"), roots.alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
 

@@ -23,7 +23,7 @@ from pyspark.sql import Window
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.operators.cluster import connected_components
 from rws_data_ingester_spark.operators.dedup import (
-    lsh_candidate_pairs,
+    lsh_star_edges,
     minhash_signature,
 )
 from rws_data_ingester_spark.operators.packing import pack_sequences
@@ -48,13 +48,12 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id")
     s1 = d.join(keepers, "doc_id", "left_semi")
 
-    # 2. near-dup removal: MinHash → LSH candidates → connected components,
-    #    keep each cluster root
+    # 2. near-dup removal: MinHash → LSH star edges (linear in bucket
+    #    size, vs quadratic clique pairs) → connected components, keep
+    #    each cluster root
     sigs = minhash_signature(s1.select("doc_id", "text"), "doc_id", "text")
-    cands = lsh_candidate_pairs(sigs, "doc_id")
-    comp = connected_components(
-        cands.toDF("id_a", "id_b"), vertices=s1.select("doc_id")
-    )
+    edges = lsh_star_edges(sigs, "doc_id")
+    comp = connected_components(edges, vertices=s1.select("doc_id"))
     roots = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias("doc_id")
     )

@@ -68,20 +68,46 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def _pin_stream_shuffle_partitions(spark: SparkSession) -> "contextlib.AbstractContextManager":
+    """Stateful-streaming shuffles allocate one state store per shuffle
+    partition, the count is frozen into the checkpoint at query start, and
+    AQE never coalesces stateful stages — so a session left at the vanilla
+    default (200) pays 200 state-store tasks per micro-batch regardless of
+    data volume. Pin the conf to core count around ``.start()`` and restore
+    the caller's value afterwards (the conf is only read at query start).
+    On a real cluster the deployment would size this once per job to
+    ~total-cores; here it protects against foreign sessions (the driver's)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _pinned():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        parts = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8)
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _pinned()
+
+
 def run_to_memory(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion with availableNow (the
     reference's full-refresh semantics) into a memory sink; returns the
     final table as a batch DataFrame."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+    spark = stream_df.sparkSession
+    with _pin_stream_shuffle_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
 
 
 def tumbling_counts_stream(spark: SparkSession, sf_dir: str, watermark: str = "1 hour") -> DataFrame:
@@ -200,13 +226,14 @@ def scheduled_refresh(
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_path)
 
-    q = (
-        agg.writeStream.outputMode("complete")
-        .foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pin_stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def stateful_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,15 +345,16 @@ def run_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> N
     sink's commit log, so a restarted query resumes from the last
     committed batch and never re-writes rows — the exactly-once story a
     100 TB ingest pipeline relies on."""
-    q = (
-        stream_df.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pin_stream_shuffle_partitions(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
 
 def parquet_sink_two_phase_replay(spark: SparkSession, sf_dir: str) -> DataFrame:

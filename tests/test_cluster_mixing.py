@@ -39,6 +39,33 @@ def test_cc_disjoint_and_singletons(spark):
     assert comp[99] == 99  # isolated vertex is its own component
 
 
+def test_star_edges_linear_in_bucket_size(spark):
+    """A k-member bucket must emit O(k) star edges (member → bucket min),
+    not the O(k²) clique pairs — the hot-bucket scale guarantee. With n
+    identical texts every band collides, so: star = n-1 edges, clique =
+    n(n-1)/2 pairs, and CC over either yields one component."""
+    from rws_data_ingester_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signature,
+    )
+
+    n = 12
+    df = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated verbatim") for i in range(n)],
+        ["doc_id", "text"],
+    )
+    sigs = minhash_signature(df, "doc_id", "text")
+    star = lsh_star_edges(sigs, "doc_id").collect()
+    assert len(star) == n - 1
+    assert {(r["id_a"], r["id_b"]) for r in star} == {(i, 0) for i in range(1, n)}
+    assert lsh_candidate_pairs(sigs, "doc_id").count() == n * (n - 1) // 2
+    comp = _components_of(
+        spark, [(r["id_a"], r["id_b"]) for r in star], vertices=list(range(n))
+    )
+    assert set(comp.values()) == {0}
+
+
 def test_cc_matches_union_find(spark):
     """dedup_clusters output == a driver-side union-find over the same
     candidate pairs."""

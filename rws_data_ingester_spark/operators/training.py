@@ -6,12 +6,24 @@ contamination screen → per-language contribution cap → sequence packing.
 Output is the funnel summary (one row per stage with surviving counts)
 plus final packing stats — the numbers a pipeline owner monitors.
 
-Scale design: every stage is one of the already-scale-audited operators
-(hash-key dedup shuffle, LSH banding + connected components, map-side
-quality predicates, broadcast benchmark grams, WindowGroupLimit cap,
-range-partitioned greedy packing); composing them adds no new shuffles
-beyond each stage's own. The funnel counts come from ONE pass per stage
-boundary (cheap count aggregates over id-only frames).
+Scale design:
+- Every stage is one of the already-scale-audited operators (hash-key
+  dedup shuffle, LSH banding + connected components, map-side quality
+  predicates, broadcast benchmark grams, WindowGroupLimit cap,
+  range-partitioned greedy packing).
+- Stage survival is computed ONCE as a cascade of boolean flags on a
+  narrow per-doc frame (id, tokens, lang, flags — never the body): each
+  stage contributes an id-set joined back on ``doc_id``, so consecutive
+  joins reuse one exchange. A naive funnel that unions one aggregate per
+  stage re-evaluates every upstream stage per branch — the 4-gram
+  contamination explode would run 3x and the dedup semi-joins 6x.
+- The flag frame is ``localCheckpoint``-ed (lazy) before fan-out to its
+  two consumers (the funnel aggregate and the packing stage); on a real
+  cluster this is ``checkpoint`` to durable storage. It holds ~4 small
+  columns per surviving doc — trivial next to the corpus itself.
+- All six funnel rows come from ONE conditional aggregation over the
+  flag frame (sum(when(flag, ...))), unpivoted to rows — a single pass
+  instead of six.
 """
 
 from __future__ import annotations
@@ -42,6 +54,7 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
 
+    # Stage id-sets -------------------------------------------------------
     # 1. exact dedup: keep min doc_id per content hash (bodies never shuffle)
     keepers = d.groupBy(F.sha2("text", 256).alias("h")).agg(
         F.min("doc_id").alias("doc_id")
@@ -49,26 +62,30 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = d.join(keepers, "doc_id", "left_semi")
 
     # 2. near-dup removal: MinHash → LSH star edges (linear in bucket
-    #    size, vs quadratic clique pairs) → connected components, keep
-    #    each cluster root
+    #    size) → connected components, keep each cluster root. CC
+    #    checkpoints its labels, so `roots` is a cheap filter over a
+    #    materialized frame — NOT a recomputation of the minhash pipeline.
     sigs = minhash_signature(s1.select("doc_id", "text"), "doc_id", "text")
     edges = lsh_star_edges(sigs, "doc_id")
     comp = connected_components(edges, vertices=s1.select("doc_id"))
     roots = comp.filter(F.col("id") == F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    s2 = s1.join(roots, "doc_id", "left_semi")
+    # roots ⊆ s1 ids by construction (CC vertices are the s1 ids), so the
+    # near-dup flag implies the exact-dedup flag.
 
-    # 3. quality gate: enough tokens, reasonable mean token length
-    s3 = s2.filter(
-        (F.col("n_tokens") >= 10)
-        & ((F.length("text") / F.col("n_tokens")).between(2.0, 12.0))
+    # 3. quality gate: enough tokens, reasonable mean token length —
+    #    pure map-side predicate, evaluated inline on the base scan.
+    q_pred = (F.col("n_tokens") >= 10) & (
+        (F.length("text") / F.col("n_tokens")).between(2.0, 12.0)
     )
 
     # 4. contamination screen: drop docs sharing any 4-gram with the
-    #    benchmark set (docs 0-9), benchmark grams broadcast
+    #    benchmark set (docs 0-9), benchmark grams broadcast. The explode
+    #    runs over quality-gate survivors only — and exactly ONCE.
+    s3_docs = d.filter(q_pred).join(roots, "doc_id", "left_semi")
     toks = F.split("text", " ")
-    grams = s3.select(
+    grams = s3_docs.select(
         "doc_id",
         F.explode(
             F.when(
@@ -87,41 +104,90 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    s4 = s3.filter(F.col("doc_id") >= 10).join(dirty, "doc_id", "left_anti")
 
-    # 5. per-language contribution cap (deterministic md5 rank)
+    # Flag cascade --------------------------------------------------------
+    # One narrow frame, one row per raw doc; every stage id-set joins on
+    # doc_id so the exchange is reused across the join chain. Bodies are
+    # dropped before the first join.
+    ann = (
+        d.select("doc_id", "n_tokens", "lang", q_pred.alias("_q"))
+        .join(keepers.withColumn("_k1", F.lit(True)), "doc_id", "left")
+        .join(roots.withColumn("_k2", F.lit(True)), "doc_id", "left")
+        .join(dirty.withColumn("_dirty", F.lit(True)), "doc_id", "left")
+        .withColumn("s1", F.coalesce("_k1", F.lit(False)))
+        .withColumn("s2", F.coalesce("_k2", F.lit(False)))
+        .withColumn("s3", F.col("s2") & F.col("_q"))
+        .withColumn(
+            "s4",
+            F.col("s3")
+            & (F.col("doc_id") >= 10)
+            & ~F.coalesce("_dirty", F.lit(False)),
+        )
+        .select("doc_id", "n_tokens", "lang", "s1", "s2", "s3", "s4")
+        .localCheckpoint(eager=False)
+    )
+
+    # 5. per-language contribution cap (deterministic md5 rank) over the
+    #    stage-4 survivors; capped ids join back onto the flag frame.
     w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
-    s5 = (
-        s4.withColumn("rn", F.row_number().over(w))
+    capped = (
+        ann.filter("s4")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 100)
-        .drop("rn")
+        .select("doc_id")
+    )
+    ann5 = (
+        ann.join(capped.withColumn("_k5", F.lit(True)), "doc_id", "left")
+        .withColumn("s5", F.col("s4") & F.coalesce("_k5", F.lit(False)))
+        .select("doc_id", "n_tokens", "lang", "s1", "s2", "s3", "s4", "s5")
+        .localCheckpoint(eager=False)
     )
 
-    # 6. pack into 256-token sequences
-    packed = pack_sequences(s5.select("doc_id", "n_tokens"), budget=256)
+    # Funnel: ONE conditional aggregation, unpivoted to stage rows -------
+    def surv(flag: str | None, tag: str):
+        cond_rows = F.count("*") if flag is None else F.sum(F.col(flag).cast("long"))
+        cond_tok = (
+            F.sum("n_tokens")
+            if flag is None
+            else F.sum(F.when(F.col(flag), F.col("n_tokens")))
+        )
+        return [
+            cond_rows.cast("long").alias(f"r_{tag}"),
+            F.coalesce(cond_tok, F.lit(0)).cast("long").alias(f"t_{tag}"),
+        ]
 
-    def stage_row(order: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(order).alias("stage_order"),
-            F.lit(name).alias("stage"),
+    wide = ann5.agg(
+        *surv(None, "raw"),
+        *surv("s1", "exact_dedup"),
+        *surv("s2", "near_dedup"),
+        *surv("s3", "quality_gate"),
+        *surv("s4", "decontaminated"),
+        *surv("s5", "lang_capped"),
+    )
+    stages = ["raw", "exact_dedup", "near_dedup", "quality_gate",
+              "decontaminated", "lang_capped"]
+    funnel = wide.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("stage_order"),
+                    F.lit(name).alias("stage"),
+                    F.col(f"r_{name}").alias("n_rows"),
+                    F.col(f"t_{name}").alias("n_tokens"),
+                )
+                for i, name in enumerate(stages)
+            ])
+        ).alias("row")
+    ).select("row.*")
+
+    # 6. pack into 256-token sequences (second consumer of the flag frame)
+    packed = pack_sequences(ann5.filter("s5").select("doc_id", "n_tokens"), budget=256)
+
+    return funnel.unionAll(
+        packed.agg(
+            F.lit(6).alias("stage_order"),
+            F.lit("packed").alias("stage"),
             F.count("*").cast("long").alias("n_rows"),
-            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.sum("total_tokens").cast("long").alias("n_tokens"),
         )
-
-    funnel = (
-        stage_row(0, "raw", d)
-        .unionAll(stage_row(1, "exact_dedup", s1))
-        .unionAll(stage_row(2, "near_dedup", s2))
-        .unionAll(stage_row(3, "quality_gate", s3))
-        .unionAll(stage_row(4, "decontaminated", s4))
-        .unionAll(stage_row(5, "lang_capped", s5))
-        .unionAll(
-            packed.agg(
-                F.lit(6).alias("stage_order"),
-                F.lit("packed").alias("stage"),
-                F.count("*").cast("long").alias("n_rows"),
-                F.sum("total_tokens").cast("long").alias("n_tokens"),
-            )
-        )
-    )
-    return funnel.orderBy("stage_order")
+    ).orderBy("stage_order")

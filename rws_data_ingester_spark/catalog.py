@@ -40,22 +40,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # These confs are runtime-settable, so set them here — not only in the
     # session factory — because callers (the driver's verify harness in
     # particular) may hand us a vanilla SparkSession without our session.py
-    # defaults. nanosAsLong: events.parquet stores ts as INT64
-    # TIMESTAMP(NANOS), which Spark has no native type for. UTC: timestamp
-    # rendering must match the DuckDB oracle (naive-UTC).
+    # defaults. nanosAsLong: tolerates an events.parquet generation that
+    # stores ts as INT64 TIMESTAMP(NANOS), which Spark has no native type
+    # for. UTC: timestamp rendering must match the DuckDB oracle (naive-UTC).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        df = normalize_event_ts(df)
+    return df
 
-        # With nanosAsLong the column arrives as epoch-nanos (LongType).
-        # Truncate to µs — the same conversion DuckDB makes reading this
-        # file, so both engines see identical timestamps. Guard on the
-        # dtype in case a future Spark gains native nanos support.
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to plain TimestampType whatever the fixture's
+    parquet generation stored. Seen in the wild across driver rounds:
+    INT64 TIMESTAMP(NANOS) (arrives as epoch-nanos LongType under
+    ``nanosAsLong``) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (arrives as TIMESTAMP_NTZ, which Spark won't cast to numerics and
+    several operators need to). With the session TZ pinned to UTC above,
+    NTZ→TIMESTAMP is the identity on the rendered wall-clock value, so
+    both engines (Spark here, DuckDB reading the same file naively) see
+    identical timestamps."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dtype = df.schema["ts"].dataType
+    if isinstance(dtype, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -24,18 +24,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ts is TIMESTAMP(NANOS) in the parquet footer → read as epoch-nanos long
-# (spark.sql.legacy.parquet.nanosAsLong) and convert to a µs timestamp.
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+from rws_data_ingester_spark.catalog import normalize_event_ts
+
+def events_schema(sf_dir: str) -> T.StructType:
+    """Explicit read schema for the events fixture (streaming reads never
+    infer). The ts field's Spark type depends on which parquet generation
+    the driver produced — INT64 TIMESTAMP(NANOS) must be read as epoch-nanos
+    long (``nanosAsLong``), TIMESTAMP(MICROS, isAdjustedToUTC=false) as
+    TIMESTAMP_NTZ — so probe the footer once (driver-side metadata read,
+    O(1) regardless of data size) instead of hardcoding either."""
+    import pyarrow.parquet as pq
+
+    ts_arrow = (
+        pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    )
+    if getattr(ts_arrow, "unit", None) == "ns":
+        ts_type: T.DataType = T.LongType()
+    elif getattr(ts_arrow, "tz", None) is None:
+        ts_type = T.TimestampNTZType()
+    else:
+        ts_type = T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def _stream_source_dir(sf_dir: str) -> str:
@@ -61,11 +79,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(events_schema(sf_dir))
         .format("parquet")
         .load(_stream_source_dir(sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def _pin_stream_shuffle_partitions(spark: SparkSession) -> "contextlib.AbstractContextManager":
@@ -372,16 +390,12 @@ def parquet_sink_two_phase_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENTS_SCHEMA).parquet(
-        os.path.join(sf_dir, "events.parquet")
-    )
+    schema = events_schema(sf_dir)
+    raw = spark.read.schema(schema).parquet(os.path.join(sf_dir, "events.parquet"))
 
     def replay_wave() -> None:
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .format("parquet")
-            .load(src)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        stream = normalize_event_ts(
+            spark.readStream.schema(schema).format("parquet").load(src)
         )
         run_to_parquet(stream, out, ckpt)
 

@@ -182,21 +182,20 @@ def test_parquet_sink_recovery_is_exactly_once(spark):
     from pyspark.sql import functions as F
 
     from rws_data_ingester_spark.streaming.jobs import (
-        EVENTS_SCHEMA,
+        events_schema,
         run_to_parquet,
     )
 
     base = tempfile.mkdtemp(prefix="rws_sink_recovery_t_")
     src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENTS_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    schema = events_schema(SF_DIR)
+    raw = spark.read.schema(schema).parquet(f"{SF_DIR}/events.parquet")
     n_total = raw.count()
     n_even = raw.filter(F.col("event_id") % 2 == 0).count()
 
     def replay_wave():
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src)
-        )
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
         run_to_parquet(stream, out, ckpt)
 
     raw.filter(F.col("event_id") % 2 == 0).write.parquet(src)

@@ -401,3 +401,87 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("sim") >= 0.9, 1)).alias("n_neardups"),
         (F.round(F.avg("sim"), 4) + 0.0).alias("avg_sim"),  # +0.0: -0.0 normalization
     )
+
+
+# --------------------------------------------------------------------------
+# Chunk-level (paragraph) dedup with document reassembly
+# --------------------------------------------------------------------------
+@query(
+    "dedup_paragraphs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), chunks AS (
+      SELECT doc_id, g.k AS chunk_idx,
+             array_to_string(t[g.k*20+1 : (g.k+1)*20], ' ') AS chunk_text
+      FROM toks, LATERAL (
+        SELECT UNNEST(generate_series(0, CAST(ceil(len(t)/20.0) AS INT) - 1)) AS k
+      ) g
+    ), ranked AS (
+      SELECT doc_id, chunk_idx, chunk_text,
+             ROW_NUMBER() OVER (
+               PARTITION BY sha256(chunk_text) ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM chunks
+    )
+    SELECT doc_id::BIGINT AS doc_id,
+           COUNT(*)::BIGINT AS n_chunks,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           COALESCE(
+             string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' ' ORDER BY chunk_idx),
+             ''
+           ) AS clean_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup with document reassembly — the C4/
+    RefinedWeb/Dolma curation step: repeated boilerplate paragraphs are
+    removed CORPUS-WIDE (first occurrence wins, ordered by doc_id then
+    position), and each document is stitched back together from its
+    surviving paragraphs in order.
+
+    The fixture text has no newlines, so "paragraph" = 20-token chunk;
+    the operator is identical for any splitter. Scale shape: one shuffle
+    keyed on the chunk's sha256 (the window partition key is the 32-byte
+    digest, not the text — same principle as dedup_exact_hash), then one
+    shuffle back on doc_id for reassembly. Both aggregations are
+    partial→final; no driver-side state. At 100 TB the keep-first rule
+    stays deterministic under retries because the ordering key
+    (doc_id, chunk_idx) is data, not partition order."""
+    d = Catalog(spark, sf_dir).documents
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(20.0)).cast("int")
+    chunks = (
+        d.select(
+            "doc_id",
+            toks.alias("t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.slice("t", F.col("chunk_idx") * 20 + 1, 20)
+            ).alias("chunk_text"),
+        )
+    )
+    w = W.partitionBy(F.sha2("chunk_text", 256)).orderBy("doc_id", "chunk_idx")
+    ranked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct("chunk_idx", "chunk_text")
+    )  # collect_list drops the NULLs for non-kept chunks
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.chunk_text,
+                ),
+            ).alias("clean_text"),
+        )
+    )

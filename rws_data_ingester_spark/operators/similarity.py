@@ -387,3 +387,75 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("is_dup").isNull(), 1)).alias("n_kept"),
         F.count(F.when(F.col("is_dup").isNotNull(), 1)).alias("n_dropped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding int8 quantization (storage compression for the ANN tiers)
+# --------------------------------------------------------------------------
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x::DOUBLE) AS v,
+             list_min(embedding)::DOUBLE AS lo,
+             list_max(embedding)::DOUBLE AS hi
+      FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, v, lo,
+             CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 255.0 END AS scale
+      FROM base
+    ), quant AS (
+      SELECT vec_id, v, lo, scale,
+             list_transform(v, x -> floor((x - lo) / scale + 0.5)) AS q
+      FROM scaled
+    ), err AS (
+      SELECT vec_id, lo, scale,
+             list_transform(list_zip(v, q), p -> abs(p[1] - (lo + p[2] * scale))) AS e
+      FROM quant
+    )
+    SELECT vec_id::BIGINT AS vec_id,
+           ROUND(lo, 6) AS q_min,
+           ROUND(scale, 6) AS q_scale,
+           ROUND(list_max(e), 6) AS max_abs_err,
+           ROUND(list_sum(e) / len(e), 6) AS mean_abs_err
+    FROM err
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector asymmetric uint8 quantization (min/max affine codebook,
+    the storage layout ANN services use to cut vector memory 4x) plus
+    reconstruction-error stats proving the codec's fidelity.
+
+    Everything is row-local JVM higher-order-function work — transform/
+    zip_with/aggregate inside whole-stage codegen, no Python, no shuffle
+    at all (the plan is scan→project). At 100 TB this is the map-side
+    pass that would precede writing the quantized copy next to the ANN
+    index. floor(x + 0.5) rather than round() because Spark rounds
+    HALF_UP and DuckDB HALF_EVEN — floor has one semantic in both
+    engines, keeping the codes bit-identical."""
+    e = Catalog(spark, sf_dir).embeddings
+    v = _as_double("embedding")
+    lo = F.array_min("embedding").cast("double")
+    hi = F.array_max("embedding").cast("double")
+    scale = F.when(hi == lo, F.lit(1.0)).otherwise((hi - lo) / F.lit(255.0))
+    based = e.select(
+        "vec_id", v.alias("v"), lo.alias("lo"), scale.alias("scale")
+    )
+    quant = based.withColumn(
+        "q", F.expr("transform(v, x -> floor((x - lo) / scale + 0.5))")
+    )
+    err = quant.withColumn(
+        "e", F.expr("zip_with(v, q, (x, qq) -> abs(x - (lo + qq * scale)))")
+    )
+    return err.select(
+        "vec_id",
+        F.round("lo", 6).alias("q_min"),
+        F.round("scale", 6).alias("q_scale"),
+        F.round(F.array_max("e"), 6).alias("max_abs_err"),
+        F.round(
+            F.expr("aggregate(e, cast(0.0 as double), (acc, x) -> acc + x)")
+            / F.size("e"),
+            6,
+        ).alias("mean_abs_err"),
+    )

@@ -248,3 +248,20 @@ def test_incremental_merge_is_single_outer_join(spark):
     rewrite-everything union-of-anti-joins shape."""
     plan = _plan(REGISTRY["pipeline_incremental_merge"].fn(spark, SF_DIR))
     assert plan.count("FullOuter") == 1
+
+
+def test_quantize_int8_is_shuffle_free(spark):
+    """Quantization is a map-side codec: the plan must be scan→project
+    with no Exchange and no Python evaluation."""
+    plan = _plan(REGISTRY["embedding_quantize_int8"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_paragraph_dedup_shuffles_twice_on_keys_not_bodies(spark):
+    """One shuffle keyed on the chunk sha256 (keep-first window), one on
+    doc_id (reassembly agg) — and the window partition key is the digest,
+    so duplicate detection never compares full texts."""
+    plan = _plan(REGISTRY["dedup_paragraphs"].fn(spark, SF_DIR))
+    assert plan.count("Exchange") == 2
+    assert "sha2" in plan

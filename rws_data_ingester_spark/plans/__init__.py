@@ -43,8 +43,16 @@ from rws_data_ingester_spark.operators import incremental  # noqa: F401
 # events.parquet TIMESTAMP(NANOS) bug (fixed in catalog.load_table) must
 # produce green rows to close the fix.
 _FRONT = ("join_asof_last_click", "set_intersect_all")
+# Back-demote queries added late in round 2 to modules that import early
+# (dedup/similarity), so they don't displace the curated round-2 check
+# window; they rotate in with the round-3 batch (COVERAGE.md ledger).
+_BACK = ("dedup_paragraphs", "embedding_quantize_int8")
 _reordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
 for _n, _q in list(REGISTRY.items()):
-    _reordered.setdefault(_n, _q)
+    if _n not in _BACK:
+        _reordered.setdefault(_n, _q)
+for _n in _BACK:
+    if _n in REGISTRY:
+        _reordered[_n] = REGISTRY[_n]
 REGISTRY.clear()
 REGISTRY.update(_reordered)

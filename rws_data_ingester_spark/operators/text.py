@@ -375,3 +375,61 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("sw_ratio"), 6).alias("avg_sw_ratio"),
         )
     )
+
+
+@query(
+    "text_length_outliers",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ), bounds AS (
+      SELECT quantile_cont(n_tokens, 0.05) AS lo,
+             quantile_cont(n_tokens, 0.95) AS hi
+      FROM tok
+    )
+    SELECT lang,
+           ROUND(ANY_VALUE(b.lo), 6) AS p5_tokens,
+           ROUND(ANY_VALUE(b.hi), 6) AS p95_tokens,
+           SUM(CASE WHEN n_tokens BETWEEN b.lo AND b.hi THEN 1 ELSE 0 END)::BIGINT
+             AS n_kept,
+           SUM(CASE WHEN n_tokens < b.lo OR n_tokens > b.hi THEN 1 ELSE 0 END)::BIGINT
+             AS n_dropped
+    FROM tok, bounds b GROUP BY lang
+    """,
+)
+def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive length filtering — the data-driven cousin of the
+    fixed-threshold Gopher gates: compute the corpus p5/p95 token counts,
+    broadcast them as a one-row scalar, and gate every document against
+    them, reporting per-language keep/drop counts.
+
+    Two passes by necessity (the threshold depends on the whole corpus),
+    but each is one partial→final aggregation; the bounds travel back as
+    a broadcast crossJoin (the `agg_share_of_total` pattern), never an
+    unpartitioned window. Exact interpolated percentiles here for the
+    oracle; at 100 TB swap `F.percentile` for `percentile_approx` (fixed
+    ~KB sketch per partition) — one function name, same plan shape.
+    Spark's percentile and DuckDB's quantile_cont share linear
+    interpolation, so the bounds agree bit-for-bit on integer inputs."""
+    d = Catalog(spark, sf_dir).documents
+    tok = d.select(
+        "lang", F.size(F.split("text", " ")).cast("double").alias("n_tokens")
+    )
+    bounds = tok.agg(
+        F.percentile("n_tokens", F.lit(0.05)).alias("lo"),
+        F.percentile("n_tokens", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        tok.crossJoin(F.broadcast(bounds))
+        .groupBy("lang")
+        .agg(
+            F.round(F.first("lo"), 6).alias("p5_tokens"),
+            F.round(F.first("hi"), 6).alias("p95_tokens"),
+            F.sum(
+                F.when(F.col("n_tokens").between(F.col("lo"), F.col("hi")), 1).otherwise(0)
+            ).alias("n_kept"),
+            F.sum(
+                F.when((F.col("n_tokens") < F.col("lo")) | (F.col("n_tokens") > F.col("hi")), 1).otherwise(0)
+            ).alias("n_dropped"),
+        )
+    )

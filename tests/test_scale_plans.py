@@ -265,3 +265,37 @@ def test_paragraph_dedup_shuffles_twice_on_keys_not_bodies(spark):
     plan = _plan(REGISTRY["dedup_paragraphs"].fn(spark, SF_DIR))
     assert plan.count("Exchange") == 2
     assert "sha2" in plan
+
+
+def test_runtime_bloom_filter_injects_on_unbroadcastable_join(spark):
+    """At 100 TB a filtered dim exceeds the broadcast threshold and the
+    fact scan exceeds the 10 GB application-side threshold, so Catalyst's
+    InjectRuntimeFilter semi-reduces the fact with a bloom filter built
+    from the filtered creation side BEFORE the shuffle. Locally both
+    sizes sit under the thresholds (the rule correctly skips: a
+    broadcastable dim makes bloom pointless), so emulate the production
+    size ratios by lowering the thresholds, then assert the plan carries
+    the bloom build + might_contain probe."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        j = (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

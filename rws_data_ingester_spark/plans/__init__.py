@@ -36,7 +36,7 @@ from rws_data_ingester_spark.operators import (  # noqa: F401
 # Round-2 additions: registered LAST so the curated first-50 window above
 # is untouched; these rotate into the check window in round 3.
 from rws_data_ingester_spark.operators import cluster, mixing, packing, training, quality  # noqa: F401
-from rws_data_ingester_spark.operators import incremental  # noqa: F401
+from rws_data_ingester_spark.operators import incremental, layout  # noqa: F401
 
 # Front-promote specific queries into the driver's check window regardless
 # of module order. Round 2: the two queries that ERRORED in round 1 on the

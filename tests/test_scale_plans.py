@@ -299,3 +299,36 @@ def test_runtime_bloom_filter_injects_on_unbroadcastable_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark):
+    """Linear (date-sorted) layout: skips files on the sort key, zero
+    skipping on partkey. Z-order layout: skips on BOTH dimensions. Also
+    the two layouts must hold identical rows (layout is physical only)."""
+    rows = {
+        (r["layout"], r["dim"]): r
+        for r in REGISTRY["sink_zorder_pruning"].fn(spark, SF_DIR).collect()
+    }
+    lin_pk = rows[("linear", "l_partkey")]
+    zo_pk = rows[("zorder", "l_partkey")]
+    zo_day = rows[("zorder", "ship_day")]
+    assert lin_pk["n_candidate_files"] == lin_pk["n_files"]  # no partkey skipping
+    assert zo_pk["n_candidate_files"] < lin_pk["n_candidate_files"]
+    assert zo_day["n_candidate_files"] < zo_day["n_files"]
+
+
+def test_zorder_write_preserves_rows(spark):
+    from rws_data_ingester_spark.operators.layout import write_zordered
+    import tempfile
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_linenumber")
+        .limit(5000)
+    )
+    out = tempfile.mkdtemp(prefix="rws_zorder_eq_")
+    write_zordered(li, out, "l_orderkey", "l_partkey")
+    back = spark.read.parquet(out).select(*li.columns)
+    assert rows_to_multiset(li.columns, back.collect()) == rows_to_multiset(
+        li.columns, li.collect()
+    )

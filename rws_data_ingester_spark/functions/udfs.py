@@ -177,3 +177,76 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL bigrams(d.text) t
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Cogrouped-map (applyInPandas over a cogroup — the two-sided extension
+# point: each key's rows from BOTH inputs arrive in one Python call)
+# --------------------------------------------------------------------------
+@query(
+    "cogroup_click_attribution",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id::BIGINT AS user_id,
+           p.event_id::BIGINT AS purchase_id,
+           COUNT(c.ts)::BIGINT AS n_prior_clicks,
+           ROUND(COALESCE(SUM(c.value), 0), 4) AS click_value
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 30 MINUTE
+     AND c.ts <= p.ts
+    GROUP BY p.user_id, p.event_id
+    """,
+)
+def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-purchase 30-minute click attribution via cogrouped applyInPandas:
+    each user's clicks AND purchases arrive together in one Arrow batch, so
+    the per-key merge logic is arbitrary Python — the extension point for
+    merge semantics Catalyst can't express. (This one it CAN express — the
+    batch twin is the oracle's range join, and the streaming twin is
+    `stream_stream_click_attribution` — which is exactly what makes it
+    hash-checkable.) Scale shape: one shuffle per side on user_id, per-key
+    state only; the same cogroup carries 100 TB if keys stay bounded."""
+    ev = Catalog(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("purchase_id", T.LongType()),
+            T.StructField("n_prior_clicks", T.LongType()),
+            T.StructField("click_value", T.DoubleType()),
+        ]
+    )
+
+    def attribute(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
+        if purch_pdf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        rows = []
+        cts = clicks_pdf["ts"].to_numpy() if not clicks_pdf.empty else np.array([], "datetime64[us]")
+        cval = clicks_pdf["value"].to_numpy() if not clicks_pdf.empty else np.array([])
+        for _, p in purch_pdf.iterrows():
+            lo = p["ts"] - pd.Timedelta(minutes=30)
+            mask = (cts > np.datetime64(lo)) & (cts <= np.datetime64(p["ts"]))
+            rows.append(
+                (
+                    int(p["user_id"]),
+                    int(p["event_id"]),
+                    int(mask.sum()),
+                    round(float(cval[mask].sum()) if mask.any() else 0.0, 4),
+                )
+            )
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(attribute, out_schema)
+    )

@@ -110,3 +110,25 @@ def test_session_islands_respect_gap_threshold(spark, gaps, threshold):
     )
     expected = 1 + sum(1 for g in gaps[1:] if g >= threshold)
     assert sessions == expected
+
+
+def test_zorder_key_is_injective_over_the_full_bucket_grid(spark):
+    """The interleave must be a bijection [0,256)² → [0,65536): any
+    collision would merge unrelated regions of the curve and silently
+    weaken skipping. Checked exhaustively (65 536 pairs) and for range:
+    the key must stay within 16 bits."""
+    from rws_data_ingester_spark.operators.layout import zorder_key
+
+    grid = (
+        spark.range(256)
+        .withColumnRenamed("id", "b1")
+        .crossJoin(spark.range(256).withColumnRenamed("id", "b2"))
+        .select(zorder_key(F.col("b1").cast("int"), F.col("b2").cast("int")).alias("z"))
+    )
+    stats = grid.agg(
+        F.count_distinct("z").alias("n"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).collect()[0]
+    assert stats["n"] == 65536
+    assert stats["lo"] == 0 and stats["hi"] == 65535

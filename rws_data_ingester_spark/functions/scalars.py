@@ -548,3 +548,37 @@ def scalar_encode_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(entries), ",").alias("entries_str"),
         F.array_join(F.sort_array(region_only), ",").alias("region_only"),
     )
+
+
+@query(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::BIGINT AS k_long,
+           json_extract(props, '$.absent') IS NULL AS missing_is_null,
+           NOT json_valid('{' || props) AS bad_parse_null,
+           json_extract(props, '$')::VARCHAR AS props_roundtrip
+    FROM events
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface over the semi-structured props column:
+    parse_json → binary variant, typed path extraction (variant_get),
+    NULL on absent paths, try_parse_json's NULL on malformed input, and
+    to_json round-trip (both engines render compact JSON, which is what
+    makes the round-trip hash-comparable). VARIANT is the open-ended
+    ingest answer when a JSON payload has no stable schema to declare —
+    the shredded binary encoding keeps path access columnar-ish instead
+    of re-parsing strings per access (which is exactly what
+    get_json_object in scalar_json_funcs does on every call)."""
+    ev = Catalog(spark, sf_dir).events
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k_long"),
+        F.variant_get(v, "$.absent", "string").isNull().alias("missing_is_null"),
+        F.try_parse_json(F.concat(F.lit("{"), F.col("props"))).isNull().alias(
+            "bad_parse_null"
+        ),
+        F.to_json(v).alias("props_roundtrip"),
+    )

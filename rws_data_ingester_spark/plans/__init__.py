@@ -37,6 +37,7 @@ from rws_data_ingester_spark.operators import (  # noqa: F401
 # is untouched; these rotate into the check window in round 3.
 from rws_data_ingester_spark.operators import cluster, mixing, packing, training, quality  # noqa: F401
 from rws_data_ingester_spark.operators import incremental, layout  # noqa: F401
+from rws_data_ingester_spark.sources import pyds  # noqa: F401
 
 # Front-promote specific queries into the driver's check window regardless
 # of module order. Round 2: the two queries that ERRORED in round 1 on the

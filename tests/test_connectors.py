@@ -19,3 +19,36 @@ def test_jsonl_permissive_captures_corrupt_records(spark, tmp_path):
     bad = df.filter("_corrupt_record IS NOT NULL").collect()
     assert {r["id"] for r in good} == {1, 2}
     assert len(bad) == 1 and "{this is not json}" in bad[0]["_corrupt_record"]
+
+
+def test_python_datasource_replays_all_keys_deterministically(spark):
+    from rws_data_ingester_spark.sources.pyds import KeyedReplayDataSource
+
+    spark.dataSource.register(KeyedReplayDataSource)
+    read = lambda **opts: (
+        spark.read.format("keyed_replay")
+        .options(**{k: str(v) for k, v in opts.items()})
+        .load()
+    )
+    base = read(numPartitions=2).orderBy("key").collect()
+    assert [r["key"] for r in base] == ["22001", "22003", "22005", "23762"]
+    assert all(r["status"] == 200 and r["n_bytes"] > 0 for r in base)
+    # partition split must not change the result set
+    assert read(numPartitions=3).orderBy("key").collect() == base
+    # second read identical (generator is stateless → retry-safe)
+    assert read(numPartitions=2).orderBy("key").collect() == base
+
+
+def test_python_datasource_missing_key_yields_404_row(spark):
+    from rws_data_ingester_spark.sources.pyds import KeyedReplayDataSource
+
+    spark.dataSource.register(KeyedReplayDataSource)
+    rows = (
+        spark.read.format("keyed_replay")
+        .option("keys", "22003,99999")
+        .load()
+        .orderBy("key")
+        .collect()
+    )
+    assert [(r["key"], r["status"]) for r in rows] == [("22003", 200), ("99999", 404)]
+    assert rows[1]["n_bytes"] == 0

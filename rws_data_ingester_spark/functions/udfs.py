@@ -227,11 +227,31 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def attribute(clicks_pdf: pd.DataFrame, purch_pdf: pd.DataFrame) -> pd.DataFrame:
+        names = [f.name for f in out_schema.fields]
         if purch_pdf.empty:
-            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            return pd.DataFrame(columns=names)
+        if "ts" not in purch_pdf.columns:
+            # Catalyst prunes the cogroup's input value columns when the
+            # caller observes no output values (a bare count()), leaving
+            # only the grouping key. Row COUNT is then the only
+            # observable — one output row per purchase — so placeholder
+            # values are legal. Without this branch a count() on this
+            # query crashes the Python worker with KeyError('ts').
+            n = len(purch_pdf)
+            return pd.DataFrame(
+                {
+                    "user_id": purch_pdf["user_id"].astype("int64")
+                    if "user_id" in purch_pdf.columns
+                    else [0] * n,
+                    "purchase_id": [0] * n,
+                    "n_prior_clicks": [0] * n,
+                    "click_value": [0.0] * n,
+                }
+            )[names]
         rows = []
-        cts = clicks_pdf["ts"].to_numpy() if not clicks_pdf.empty else np.array([], "datetime64[us]")
-        cval = clicks_pdf["value"].to_numpy() if not clicks_pdf.empty else np.array([])
+        has_clicks = not clicks_pdf.empty and "ts" in clicks_pdf.columns
+        cts = clicks_pdf["ts"].to_numpy() if has_clicks else np.array([], "datetime64[us]")
+        cval = clicks_pdf["value"].to_numpy() if has_clicks else np.array([])
         for _, p in purch_pdf.iterrows():
             lo = p["ts"] - pd.Timedelta(minutes=30)
             mask = (cts > np.datetime64(lo)) & (cts <= np.datetime64(p["ts"]))

@@ -63,3 +63,12 @@ def test_driver_check_window_is_the_curated_round2_set():
                             "watermark_cutoff", "stream_static_join",
                             "funnel_signup_click_purchase"}]
     assert not strays, f"unexpected queries inside the check window: {strays}"
+
+
+def test_cogroup_attribution_survives_bare_count(spark):
+    """A bare count() makes Catalyst prune the cogroup UDF's input value
+    columns down to the grouping key; the function must emit the same
+    number of rows from the pruned inputs instead of crashing the Python
+    worker (regression: KeyError('ts'))."""
+    df = REGISTRY["cogroup_click_attribution"].fn(spark, SF_DIR)
+    assert df.count() == len(df.collect())

@@ -204,17 +204,28 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-purchase 30-minute click attribution via cogrouped applyInPandas:
-    each user's clicks AND purchases arrive together in one Arrow batch, so
+    a user's clicks AND purchases arrive together in one Arrow batch, so
     the per-key merge logic is arbitrary Python — the extension point for
     merge semantics Catalyst can't express. (This one it CAN express — the
     batch twin is the oracle's range join, and the streaming twin is
     `stream_stream_click_attribution` — which is exactly what makes it
-    hash-checkable.) Scale shape: one shuffle per side on user_id, per-key
-    state only; the same cogroup carries 100 TB if keys stay bounded."""
+    hash-checkable.)
+
+    Scale lesson baked in: cogrouping directly on user_id means one
+    Python call per user — measured ~7 s for 1 500 tiny groups at sf0.1,
+    ~4-5 ms of Arrow/invoke overhead per group, function body irrelevant.
+    So the cogroup key is a HASH BUCKET of the user (64 buckets), and the
+    per-user logic runs inside the batch over numpy slices — same
+    semantics, ~20x fewer UDF calls. The bucket count is the number of
+    parallel work units: size it ~2-3x cores on a cluster. Per-key state
+    is unchanged (a sorted click array per user)."""
     ev = Catalog(spark, sf_dir).events
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("bucket")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        bucket, "user_id", "ts", "value"
+    )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts"
+        bucket, "user_id", "event_id", "ts"
     )
 
     out_schema = T.StructType(
@@ -248,25 +259,41 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "click_value": [0.0] * n,
                 }
             )[names]
-        rows = []
+        # Per user inside the bucket: sorted clicks + two binary searches
+        # per purchase — O((c+p) log c), no iterrows (which alone cost
+        # ~10x here). The window sum is a direct slice sum so the float
+        # accumulation matches a plain per-group SUM.
         has_clicks = not clicks_pdf.empty and "ts" in clicks_pdf.columns
-        cts = clicks_pdf["ts"].to_numpy() if has_clicks else np.array([], "datetime64[us]")
-        cval = clicks_pdf["value"].to_numpy() if has_clicks else np.array([])
-        for _, p in purch_pdf.iterrows():
-            lo = p["ts"] - pd.Timedelta(minutes=30)
-            mask = (cts > np.datetime64(lo)) & (cts <= np.datetime64(p["ts"]))
-            rows.append(
-                (
-                    int(p["user_id"]),
-                    int(p["event_id"]),
-                    int(mask.sum()),
-                    round(float(cval[mask].sum()) if mask.any() else 0.0, 4),
-                )
+        by_user: dict = {}
+        if has_clicks:
+            cs = clicks_pdf.sort_values(["user_id", "ts"], kind="stable")
+            for uid, grp in cs.groupby("user_id", sort=False):
+                by_user[uid] = (grp["ts"].to_numpy(), grp["value"].to_numpy())
+        empty_ts = np.array([], "datetime64[us]")
+        out_uid, out_pid, out_n, out_val = [], [], [], []
+        for uid, grp in purch_pdf.groupby("user_id", sort=False):
+            cts, cval = by_user.get(uid, (empty_ts, np.array([])))
+            pts = grp["ts"].to_numpy()
+            lo_idx = np.searchsorted(cts, pts - np.timedelta64(30, "m"), side="right")
+            hi_idx = np.searchsorted(cts, pts, side="right")
+            out_uid.append(grp["user_id"].to_numpy().astype("int64"))
+            out_pid.append(grp["event_id"].to_numpy().astype("int64"))
+            out_n.append((hi_idx - lo_idx).astype("int64"))
+            out_val.extend(
+                round(float(cval[l:h].sum()), 4) if h > l else 0.0
+                for l, h in zip(lo_idx, hi_idx)
             )
-        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_uid),
+                "purchase_id": np.concatenate(out_pid),
+                "n_prior_clicks": np.concatenate(out_n),
+                "click_value": out_val,
+            }
+        )[names]
 
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(attribute, out_schema)
     )

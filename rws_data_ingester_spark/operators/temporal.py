@@ -251,3 +251,66 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(clicked, 1)).alias("n_clicked_after"),
         F.count(F.when(purchased, 1)).alias("n_purchased_after"),
     )
+
+
+@query(
+    "rollup_time_hierarchy",
+    oracle="""
+    -- Cascade, not three fact scans: day/week re-aggregate the hourly
+    -- partials (unrounded), mirroring the Spark plan, so both engines
+    -- sum the same partial sets.
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*)::BIGINT AS n, SUM(value) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT 'hour' AS grain,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS grain_start,
+           event_type, n AS n_events, ROUND(v, 4) AS total_value
+    FROM hourly
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', h), '%Y-%m-%d %H:%M:%S'),
+           event_type, SUM(n)::BIGINT, ROUND(SUM(v), 4)
+    FROM hourly GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', strftime(date_trunc('week', h), '%Y-%m-%d %H:%M:%S'),
+           event_type, SUM(n)::BIGINT, ROUND(SUM(v), 4)
+    FROM hourly GROUP BY 2, 3
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup cascade: aggregate the fact ONCE at the
+    finest grain (hour), materialize that small frame, then re-aggregate
+    it to day and week. The fact is scanned a single time; the coarser
+    grains read the 3 orders-of-magnitude-smaller hourly rollup — the
+    continuous-aggregate design every time-series store uses, expressed
+    as plain DataFrame ops. localCheckpoint pins the hourly frame so the
+    three union branches don't each recompute the fact agg (at 100 TB
+    the hourly rollup would be a stored table maintained incrementally —
+    see streaming/jobs.scheduled_refresh for that loop)."""
+    ev = Catalog(spark, sf_dir).events
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+
+    def grain(name: str, trunc: str | None) -> DataFrame:
+        if trunc is None:
+            g = hourly.select(F.col("h").alias("g"), "event_type", "n", "v")
+        else:
+            g = (
+                hourly.groupBy(F.date_trunc(trunc, "h").alias("g"), "event_type")
+                .agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+            )
+        return g.select(
+            F.lit(name).alias("grain"),
+            ts_str(F.col("g")).alias("grain_start"),
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round("v", 4).alias("total_value"),
+        )
+
+    return grain("hour", None).unionByName(grain("day", "day")).unionByName(
+        grain("week", "week")
+    )

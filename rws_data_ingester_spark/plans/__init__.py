@@ -47,7 +47,12 @@ _FRONT = ("join_asof_last_click", "set_intersect_all")
 # Back-demote queries added late in round 2 to modules that import early
 # (dedup/similarity), so they don't displace the curated round-2 check
 # window; they rotate in with the round-3 batch (COVERAGE.md ledger).
-_BACK = ("dedup_paragraphs", "embedding_quantize_int8", "text_length_outliers")
+_BACK = (
+    "dedup_paragraphs",
+    "embedding_quantize_int8",
+    "text_length_outliers",
+    "rollup_time_hierarchy",
+)
 _reordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
 for _n, _q in list(REGISTRY.items()):
     if _n not in _BACK:

@@ -207,3 +207,46 @@ def test_parquet_sink_recovery_is_exactly_once(spark):
     sink = spark.read.parquet(out)
     assert sink.count() == n_total
     assert sink.select("event_id").distinct().count() == n_total
+
+
+def test_normalize_event_ts_handles_all_known_parquet_generations(spark, tmp_path):
+    """The driver regenerates the fixture tree between rounds and the
+    events.ts physical type has already changed once (round 1: INT64
+    TIMESTAMP(NANOS); round 2: TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    → TIMESTAMP_NTZ). Pin that every known generation normalizes to the
+    same plain-TimestampType wall-clock values, and that the streaming
+    schema probe classifies each correctly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    from rws_data_ingester_spark.catalog import normalize_event_ts
+    from rws_data_ingester_spark.streaming.jobs import events_schema
+
+    import pandas as pd
+
+    base = pd.to_datetime(["2024-03-01T12:00:00.123456", "2024-03-02T00:30:15.000001"])
+    us = pa.array(base, type=pa.timestamp("us"))
+    cases = {
+        "nanos": pa.table({"ts": us.cast(pa.timestamp("ns"))}),
+        "micros_ntz": pa.table({"ts": us}),
+        "micros_utc": pa.table({"ts": us.cast(pa.timestamp("us", tz="UTC"))}),
+    }
+    rendered = {}
+    for name, tbl in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, d / "events.parquet")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = normalize_event_ts(spark.read.parquet(str(d / "events.parquet")))
+        assert isinstance(df.schema["ts"].dataType, TimestampType), name
+        rendered[name] = sorted(
+            r["s"] for r in df.select(F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("s")).collect()
+        )
+        # the streaming probe must pick a schema the file actually reads as
+        ts_field = next(f for f in events_schema(str(d)).fields if f.name == "ts")
+        expected = {"nanos": "LongType()", "micros_ntz": "TimestampNTZType()", "micros_utc": "TimestampType()"}
+        assert repr(ts_field.dataType) == expected[name], (name, ts_field.dataType)
+    assert rendered["nanos"] == rendered["micros_ntz"] == rendered["micros_utc"]

@@ -709,3 +709,30 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_users"),
         )
     )
+
+
+_SHARED_SQL = """
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue,
+       ROUND(AVG(o.o_totalprice), 2) AS avg_order,
+       MIN(o.o_orderdate) AS first_order,
+       MAX(o.o_orderdate) AS last_order
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("sql_passthrough_segment_revenue", oracle=_SHARED_SQL)
+def sql_passthrough_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL passthrough: the engine registers the catalog tables as views
+    and hands the user's SQL string to spark.sql verbatim — and the SAME
+    string is the DuckDB oracle, character for character, proving the
+    exposed dialect is the portable ANSI subset. A reference user who
+    writes plain SQL (rather than the DataFrame builder surface every
+    other query demonstrates) switches engines by changing nothing."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("orders", "customer"))
+    return spark.sql(_SHARED_SQL)

@@ -433,3 +433,36 @@ def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_dropped"),
         )
     )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT
+             AS bpe_tokens,
+           ROUND(length(text)::DOUBLE
+                 / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')), 4)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pretokenizer regex (the GPT-2
+    pattern's RE2-safe core: leading-space word / number / punctuation
+    runs) alongside the whitespace count — the budget signal a training
+    pipeline uses before the real tokenizer runs. Pure regexp in
+    whole-stage codegen on both engines; the pattern deliberately avoids
+    lookahead so Java regex (Spark) and RE2 (DuckDB) agree token-for-
+    token. chars_per_token is the standard compression-ratio proxy."""
+    d = Catalog(spark, sf_dir).documents
+    bpe = F.size(
+        F.expr(r"regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+', 0)")
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.length("text").cast("double") / bpe, 4).alias("chars_per_token"),
+    )

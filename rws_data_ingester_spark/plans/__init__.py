@@ -52,6 +52,7 @@ _BACK = (
     "embedding_quantize_int8",
     "text_length_outliers",
     "rollup_time_hierarchy",
+    "text_token_count_bpe",
 )
 _reordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
 for _n, _q in list(REGISTRY.items()):

@@ -146,3 +146,56 @@ def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _file_skip_audit(spark, lin, "linear", dims).unionByName(
         _file_skip_audit(spark, zo, "zorder", dims)
     )
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction — the other chronic physical-layout problem.
+# --------------------------------------------------------------------------
+@query("sink_compaction", oracle=None)  # file counts are size-dependent → rows-only
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the OPTIMIZE/rewriteDataFiles analog):
+    deliberately fragment events into 64 tiny parquet files, then rewrite
+    at a target file size computed from the ACTUAL fragmented bytes —
+    n_out = ceil(total_bytes / target). A streaming ingest or
+    over-parallel writer leaves thousands of KB-files per partition;
+    every future scan then pays one task + one footer read per file, so
+    periodic compaction is what keeps a 100 TB table scannable. Returns a
+    per-phase audit (files, rows, bytes); the test asserts the compacted
+    copy has fewer files and identical rows.
+
+    File sizes come from a driver-side listing — bounded by the file
+    COUNT, not data size (at cluster scale the same numbers come from the
+    FileSystem listStatus call, or the table format's manifest)."""
+    import math
+    import os
+
+    ev = Catalog(spark, sf_dir).events
+    frag = tempfile.mkdtemp(prefix="rws_frag_")
+    comp = tempfile.mkdtemp(prefix="rws_compact_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    def _bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    frag_bytes = _bytes(frag)
+    target_file_bytes = 4 * 1024 * 1024
+    n_out = max(1, math.ceil(frag_bytes / target_file_bytes))
+    spark.read.parquet(frag).repartition(n_out).write.mode("overwrite").parquet(comp)
+
+    def _audit(path: str, phase: str) -> DataFrame:
+        # input_file_name() is non-deterministic to Catalyst: project it
+        # to a column first, aggregate the column. Byte totals stay out of
+        # the output on purpose — parquet encoding wobbles a few bytes per
+        # run (metadata), which would break the determinism contract.
+        df = spark.read.parquet(path).select(F.input_file_name().alias("f"))
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.countDistinct("f").alias("n_files"),
+            F.count("*").alias("n_rows"),
+        )
+
+    return _audit(frag, "fragmented").unionByName(_audit(comp, "compacted"))

@@ -279,3 +279,72 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "pipeline_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source, n_docs,
+             least(floor(least(1.0, sqrt(100.0 / n_docs)) * 16777216),
+                   16777215)::BIGINT AS thr
+      FROM counts
+    ), sampled AS (
+      SELECT d.source, COUNT(*)::BIGINT AS n_sampled
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE substr(md5(d.doc_id::VARCHAR), 1, 6) < printf('%06x', r.thr)
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs,
+           COALESCE(s.n_sampled, 0)::BIGINT AS n_sampled,
+           ROUND(r.thr / 16777216.0, 6) AS samp_rate
+    FROM rates r LEFT JOIN sampled s ON r.source = s.source
+    """,
+)
+def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the multilingual-LLM sampling rule
+    of XLM-R / mT5: keep probability proportional to count^(alpha-1),
+    alpha=0.5, so small sources are up-weighted relative to their share).
+    Rates are UNNORMALIZED against a fixed reference count — p_s =
+    min(1, sqrt(ref / n_s)) — deliberately: each rate is then a chain of
+    single correctly-rounded IEEE ops on one source's count, so Spark and
+    DuckDB compute bit-identical thresholds (a cross-source SUM of
+    doubles would be summation-order-dependent and could flip a floor()).
+    The threshold becomes a 6-hex-digit md5-prefix cutoff — the same
+    deterministic, engine-independent, map-side rule as
+    sample_deterministic. The rate table is tiny and broadcast; the
+    corpus-side filter never shuffles."""
+    d = Catalog(spark, sf_dir).documents
+    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    rates = (
+        counts.withColumn(
+            "thr",
+            F.least(
+                F.floor(
+                    F.least(F.lit(1.0), F.sqrt(F.lit(100.0) / F.col("n_docs")))
+                    * 16777216
+                ),
+                F.lit(16777215),
+            ),
+        )
+        .withColumn("hex6", F.format_string("%06x", F.col("thr")))
+    )
+    sampled = (
+        d.join(F.broadcast(rates), "source")
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6) < F.col("hex6")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_sampled"))
+    )
+    return (
+        rates.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+            F.round(F.col("thr") / F.lit(16777216.0), 6).alias("samp_rate"),
+        )
+    )

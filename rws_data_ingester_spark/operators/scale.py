@@ -90,3 +90,41 @@ def observed(df: DataFrame, name: str, **metrics: F.Column):
     obs = Observation(name)
     named = [col.alias(alias) for alias, col in metrics.items()]
     return df.observe(obs, *named), obs
+
+
+# --------------------------------------------------------------------------
+# Registered query exercising salted_join end-to-end: the oracle is the
+# PLAIN join+aggregate, so the driver verifies the salting is invisible in
+# the result — the whole point of the strategy.
+# --------------------------------------------------------------------------
+from rws_data_ingester_spark.catalog import Catalog  # noqa: E402
+from rws_data_ingester_spark.plans.registry import query  # noqa: E402
+
+
+@query(
+    "join_salted_skew",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per market segment through the skew-salted join path.
+    orders is the (potentially skewed) big side, customer the replicated
+    small side; the salt spreads any hot o_custkey over 8 reducers. The
+    oracle is the unsalted SQL join — result identity is the contract."""
+    c = Catalog(spark, sf_dir)
+    joined = salted_join(
+        c.orders,
+        c.customer.select("c_custkey", "c_mktsegment"),
+        "o_custkey",
+        "c_custkey",
+        n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

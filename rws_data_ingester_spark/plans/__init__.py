@@ -38,6 +38,7 @@ from rws_data_ingester_spark.operators import (  # noqa: F401
 from rws_data_ingester_spark.operators import cluster, mixing, packing, training, quality  # noqa: F401
 from rws_data_ingester_spark.operators import incremental, layout  # noqa: F401
 from rws_data_ingester_spark.sources import pyds  # noqa: F401
+from rws_data_ingester_spark.operators import vectors, ids, tokenizer, scale  # noqa: F401
 
 # Front-promote specific queries into the driver's check window regardless
 # of module order. Round 2: the two queries that ERRORED in round 1 on the

@@ -1,0 +1,177 @@
+"""Tests for the PQ ANN tier, contiguous-id assignment, BPE training,
+temperature mixing, and small-file compaction (round-2 late additions).
+Oracle parity for the oracle-paired ones runs in test_oracle_parity.py;
+these tests pin the *semantic* properties the oracle can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+# --------------------------------------------------------------------------
+# PQ similarity search
+# --------------------------------------------------------------------------
+def test_pq_recall_vs_exact(spark):
+    """ADC shortlist + exact re-rank must recover most of the true top-5
+    neighbor set (the exact query is the oracle-checked brute-force path)."""
+    exact = REGISTRY["simsearch_topk_exact"].fn(spark, SF_DIR).collect()
+    pq = REGISTRY["simsearch_topk_pq"].fn(spark, SF_DIR).collect()
+    truth: dict[int, set[int]] = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set[int]] = {}
+    for r in pq:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(truth)
+    hits = sum(len(truth[q] & got[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    assert hits / total >= 0.8, f"PQ recall {hits}/{total} below 0.8"
+
+
+def test_pq_codes_shape(spark):
+    """Every corpus vector is coded as m=8 codes, each in [0, 16)."""
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.operators.vectors import pq_encode, pq_train
+
+    e = Catalog(spark, SF_DIR).embeddings
+    cb = pq_train(e)
+    assert cb.shape == (8, 256, 8)
+    codes = pq_encode(e, cb)
+    bad = codes.filter(
+        (F.size("codes") != 8)
+        | F.exists("codes", lambda c: (c < 0) | (c >= 256))
+    ).count()
+    assert bad == 0
+    assert codes.count() == e.count()
+
+
+# --------------------------------------------------------------------------
+# Contiguous id assignment
+# --------------------------------------------------------------------------
+def test_ids_no_global_single_partition_sort(spark):
+    """The plan must not contain a partition-less Window (the whole point
+    of the bucketed two-pass shape): every Window sort is keyed by the
+    bucket, and the only unpartitioned window runs over the 16-row
+    offsets frame, never the data."""
+    df = REGISTRY["ids_assign_contiguous"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "_bucket" not in line:
+            # allowed: the offsets prefix-sum window over the tiny
+            # per-bucket counts frame (carries _n / _offset columns)
+            assert "_offset" in line or "_n#" in line, f"unexpected global window: {line}"
+
+
+def test_ids_survive_skewed_keys(spark):
+    """Duplicate-free but heavily skewed key distribution (all keys in a
+    narrow band plus outliers) still yields exact 0..n-1 dense ids."""
+    from rws_data_ingester_spark.operators.ids import assign_contiguous_ids
+
+    keys = list(range(100)) + [10_000, 20_000, -5]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = assign_contiguous_ids(df, "k").collect()
+    by_key = sorted((r["k"], r["global_id"]) for r in out)
+    assert [g for _, g in by_key] == list(range(len(keys)))
+
+
+# --------------------------------------------------------------------------
+# BPE training
+# --------------------------------------------------------------------------
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE (Sennrich-style greedy merges, ties
+    broken lexicographically) to pin the Spark implementation against."""
+    vocab = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, freq in word_freqs.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + freq
+        if not pairs:
+            break
+        maxf = max(pairs.values())
+        a, b = min(p for p, f in pairs.items() if f == maxf)
+        merges.append((rank, a, b, a + b, maxf))
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_matches_reference_implementation(spark):
+    from rws_data_ingester_spark.operators.tokenizer import bpe_train
+
+    corpus = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    word_freqs: dict[str, int] = {}
+    for line in corpus:
+        for w in line.split():
+            word_freqs[w] = word_freqs.get(w, 0) + 1
+    expected = _ref_bpe(word_freqs, 6)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_freq"])
+        for r in bpe_train(docs, 6).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_deterministic_across_runs(spark):
+    q = REGISTRY["bpe_vocab_train"]
+    a = [tuple(r) for r in q.fn(spark, SF_DIR).orderBy("merge_rank").collect()]
+    b = [tuple(r) for r in q.fn(spark, SF_DIR).orderBy("merge_rank").collect()]
+    assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# Temperature mixing
+# --------------------------------------------------------------------------
+def test_temperature_mixing_upweights_small_sources(spark):
+    """alpha<1 means smaller sources get HIGHER sampling rates — the rate
+    column must be anti-monotonic in source size (ties allowed at the
+    p=1 clamp)."""
+    rows = REGISTRY["pipeline_mix_temperature"].fn(spark, SF_DIR).collect()
+    by_size = sorted(rows, key=lambda r: r["n_docs"])
+    rates = [r["samp_rate"] for r in by_size]
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+    for r in rows:
+        assert 0 < r["n_sampled"] <= r["n_docs"]
+
+
+# --------------------------------------------------------------------------
+# Compaction
+# --------------------------------------------------------------------------
+def test_compaction_reduces_files_preserves_rows(spark):
+    rows = {r["phase"]: r for r in REGISTRY["sink_compaction"].fn(spark, SF_DIR).collect()}
+    assert rows["compacted"]["n_files"] < rows["fragmented"]["n_files"]
+    assert rows["compacted"]["n_rows"] == rows["fragmented"]["n_rows"]
+
+
+# --------------------------------------------------------------------------
+# Centroids
+# --------------------------------------------------------------------------
+def test_centroids_cover_every_label_and_dim(spark):
+    from rws_data_ingester_spark.catalog import Catalog
+
+    out = REGISTRY["embedding_centroids"].fn(spark, SF_DIR)
+    e = Catalog(spark, SF_DIR).embeddings
+    n_labels = e.select("label").distinct().count()
+    dims = e.select(F.size("embedding").alias("d")).distinct().collect()
+    assert len(dims) == 1
+    assert out.count() == n_labels * dims[0]["d"]

@@ -388,3 +388,41 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderpriority").cast("long").alias("g_priority"),
         F.count("*").alias("n_orders"),
     ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n_orders")
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(least(o_totalprice, 599999.99) / 25000.0) AS BIGINT)
+               AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           ROUND(CAST(bucket AS DOUBLE) * 25000.0, 2) AS bucket_lo,
+           ROUND(CAST(bucket + 1 AS DOUBLE) * 25000.0, 2) AS bucket_hi,
+           COUNT(*)::BIGINT AS n_orders
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (24 x 25k buckets, top bucket
+    clamped). Bucket arithmetic is explicit floor(x / width) rather than
+    width_bucket() so both engines run the identical single IEEE divide —
+    a pure map-side projection; the shuffle carries one row per bucket.
+    The streaming/approx sibling is agg_approx_percentile_bounds."""
+    o = Catalog(spark, sf_dir).orders
+    bucket = F.floor(F.least(F.col("o_totalprice"), F.lit(599999.99)) / 25000.0).cast(
+        "long"
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            F.round(F.col("bucket") * 25000.0, 2).alias("bucket_lo"),
+            F.round((F.col("bucket") + 1) * 25000.0, 2).alias("bucket_hi"),
+            "n_orders",
+        )
+    )

@@ -288,3 +288,76 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(passed, 1)).alias("n_pass"),
         F.count(F.when(~passed, 1)).alias("n_fail"),
     )
+
+
+@query(
+    "data_quality_audit",
+    oracle="""
+    SELECT 'orders_rowcount' AS check_name, COUNT(*)::DOUBLE AS value FROM orders
+    UNION ALL
+    SELECT 'orderkey_nulls', COUNT(*) FILTER (WHERE o_orderkey IS NULL)::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_dups',
+           (COUNT(*) - COUNT(DISTINCT o_orderkey))::DOUBLE FROM orders
+    UNION ALL
+    SELECT 'totalprice_nonpositive',
+           COUNT(*) FILTER (WHERE o_totalprice <= 0)::DOUBLE FROM orders
+    UNION ALL
+    SELECT 'orderdate_out_of_range',
+           COUNT(*) FILTER (WHERE o_orderdate < DATE '1995-01-01'
+                               OR o_orderdate > DATE '2001-12-31')::DOUBLE
+    FROM orders
+    UNION ALL
+    SELECT 'orphan_custkeys', COUNT(*)::DOUBLE
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit over orders (the Deequ/Great-Expectations
+    shape): row count, key null/duplicate counts, domain checks, and a
+    cross-table referential-integrity probe (orders whose customer does
+    not exist). The five column checks are ONE pass over the fact in a
+    single aggregate (conditional count_if, map-side partial); only the
+    RI probe needs a join, and it broadcasts the key-only dimension side
+    then ships a single count. Output is the narrow (check_name, value)
+    frame a quality dashboard ingests."""
+    c = Catalog(spark, sf_dir)
+    o = c.orders
+    col_checks = o.agg(
+        F.count("*").cast("double").alias("orders_rowcount"),
+        F.count_if(F.col("o_orderkey").isNull()).cast("double").alias("orderkey_nulls"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("double")
+        .alias("orderkey_dups"),
+        F.count_if(F.col("o_totalprice") <= 0).cast("double").alias(
+            "totalprice_nonpositive"
+        ),
+        F.count_if(
+            (F.col("o_orderdate") < F.lit("1995-01-01"))
+            | (F.col("o_orderdate") > F.lit("2001-12-31"))
+        )
+        .cast("double")
+        .alias("orderdate_out_of_range"),
+    )
+    narrow = col_checks.select(
+        F.expr(
+            "explode(map("
+            "'orders_rowcount', orders_rowcount,"
+            "'orderkey_nulls', orderkey_nulls,"
+            "'orderkey_dups', orderkey_dups,"
+            "'totalprice_nonpositive', totalprice_nonpositive,"
+            "'orderdate_out_of_range', orderdate_out_of_range))"
+        ).alias("check_name", "value")
+    )
+    orphans = (
+        o.join(
+            F.broadcast(c.customer.select("c_custkey")),
+            o["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit("orphan_custkeys").alias("check_name"), "value")
+    )
+    return narrow.unionByName(orphans)

@@ -1,0 +1,200 @@
+"""Time-series warehouse operators over the events stream: gap-filled
+hourly grids, cohort retention, and SCD2 interval building
+(SURVEY.md §2.9/§2.10 [EXT] — the reference is a point-in-time cron ETL
+with no history model; these are the standard shapes a time-series /
+warehouse user expects from the engine).
+
+Scale design: every operator aggregates the raw events FIRST (map-side
+partial aggregation, event-count → cell-count reduction before any
+exchange), then does its window/join work on the aggregated grid —
+hours x types, users, or change-points — which is orders of magnitude
+smaller than the event stream. The time spine is generated, not stored
+(``sequence()`` + explode of a 2-value bounds row), so the gap-fill
+never scans anything to learn the calendar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans.registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    ), agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             COUNT(*)::BIGINT AS n, AVG(value) AS avg_value
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), grid AS (
+      SELECT t.event_type, s.h,
+             COALESCE(a.n, 0)::BIGINT AS n_events,
+             a.avg_value,
+             (CASE WHEN a.h IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap
+      FROM types t CROSS JOIN spine s
+      LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
+    )
+    SELECT event_type,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           n_events, is_gap,
+           ROUND(LAST_VALUE(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS avg_value_filled
+    FROM grid
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event type: a generated hour spine ×
+    the type dimension, left-joined onto the hourly aggregate; missing
+    hours get count 0, an is_gap marker, and a carried-forward (LOCF)
+    average — the hypertable ``time_bucket_gapfill`` + ``locf`` shape.
+    The raw stream collapses to hours × types cells before any window
+    touches it, so the LOCF pass costs nothing at any corpus scale."""
+    ev = Catalog(spark, sf_dir).events
+    agg = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(spine)
+        .join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            "avg_value",
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    return grid.select(
+        "event_type",
+        F.date_format("h", _TS_FMT).alias("hour_start"),
+        "n_events",
+        "is_gap",
+        F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
+            "avg_value_filled"
+        ),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           (date_diff('day', f.cohort_week, a.active_week) // 7)::BIGINT
+             AS week_offset,
+           COUNT(DISTINCT a.user_id)::BIGINT AS n_active
+    FROM firsts f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users are cohorted by the week of
+    their first event; n_active counts distinct cohort members active in
+    each later week. Both inputs are user-level aggregates (events
+    collapse to one row per user / per user-week before the join), and
+    the join key is user_id — one co-partitioned shuffle at any scale."""
+    ev = Catalog(spark, sf_dir).events
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("CAST(datediff(active_week, cohort_week) / 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), starts AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_type IS NULL OR prev_type != event_type
+    ), iv AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to
+      FROM starts
+    )
+    SELECT user_id, event_type,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_current
+    FROM iv
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 builder: collapse each user's
+    event-type timeline into [valid_from, valid_to) intervals, one row
+    per change-point, open interval marked is_current — the standard
+    CDC-apply → dimension-history shape. Change-point detection is one
+    lag() pass partitioned by user; the lead() close-off then runs on
+    change-points only (a fraction of the events), reusing the same
+    user-keyed partitioning — AQE sees one exchange."""
+    ev = Catalog(spark, sf_dir).events
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(wo).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    iv = starts.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias(
+            "valid_to"
+        ),
+    )
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", _TS_FMT).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT).alias("valid_to"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("long").alias(
+            "is_current"
+        ),
+    )

@@ -39,6 +39,7 @@ from rws_data_ingester_spark.operators import cluster, mixing, packing, training
 from rws_data_ingester_spark.operators import incremental, layout  # noqa: F401
 from rws_data_ingester_spark.sources import pyds  # noqa: F401
 from rws_data_ingester_spark.operators import vectors, ids, tokenizer, scale  # noqa: F401
+from rws_data_ingester_spark.operators import timeseries  # noqa: F401
 
 # Front-promote specific queries into the driver's check window regardless
 # of module order. Round 2: the two queries that ERRORED in round 1 on the

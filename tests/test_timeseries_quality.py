@@ -1,0 +1,108 @@
+"""Semantic property tests for the time-series batch (gap-fill, cohort
+retention, SCD2 intervals) plus histogram and the quality audit — oracle
+parity runs separately in test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.plans import REGISTRY
+from tests.conftest import SF_DIR
+
+
+def test_gapfill_grid_is_complete_and_gaps_are_empty(spark):
+    ev = Catalog(spark, SF_DIR).events
+    n_types = ev.select("event_type").distinct().count()
+    out = REGISTRY["timeseries_gapfill"].fn(spark, SF_DIR).collect()
+    hours = {r["hour_start"] for r in out}
+    # full grid: every type x every spine hour
+    assert len(out) == n_types * len(hours)
+    for r in out:
+        if r["is_gap"] == 1:
+            assert r["n_events"] == 0
+        else:
+            assert r["n_events"] > 0
+            # non-gap hours always have a filled value (their own average)
+            assert r["avg_value_filled"] is not None
+
+
+def test_gapfill_locf_carries_last_value(spark):
+    out = REGISTRY["timeseries_gapfill"].fn(spark, SF_DIR).collect()
+    by_type = defaultdict(list)
+    for r in out:
+        by_type[r["event_type"]].append(r)
+    for rows in by_type.values():
+        rows.sort(key=lambda r: r["hour_start"])
+        last_seen = None
+        for r in rows:
+            if r["is_gap"] == 0:
+                last_seen = r["avg_value_filled"]
+            else:
+                assert r["avg_value_filled"] == last_seen
+
+
+def test_cohort_week_zero_equals_cohort_size(spark):
+    ev = Catalog(spark, SF_DIR).events
+    out = REGISTRY["cohort_retention"].fn(spark, SF_DIR).collect()
+    zero = {r["cohort_week"]: r["n_active"] for r in out if r["week_offset"] == 0}
+    sizes = {
+        r["cohort_week"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # week 0 activity == cohort size (every user is active in their first week)
+    assert zero == sizes
+    for r in out:
+        assert r["week_offset"] >= 0
+        assert r["n_active"] <= sizes[r["cohort_week"]]
+
+
+def test_scd2_intervals_partition_each_user_timeline(spark):
+    out = REGISTRY["scd2_intervals"].fn(spark, SF_DIR).collect()
+    by_user = defaultdict(list)
+    for r in out:
+        by_user[r["user_id"]].append(r)
+    for user, rows in by_user.items():
+        currents = [r for r in rows if r["is_current"] == 1]
+        assert len(currents) == 1, f"user {user}: {len(currents)} open intervals"
+        closed = sorted(
+            (r for r in rows if r["valid_to"] is not None), key=lambda r: r["valid_from"]
+        )
+        # contiguity: each interval closes where the next opens
+        for a, b in zip(closed, closed[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        # no zero-advance change points collapse to the same type twice in a row
+        ordered = sorted(rows, key=lambda r: (r["valid_to"] is None, r["valid_from"]))
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["event_type"] != b["event_type"] or a["valid_from"] != b["valid_from"]
+
+
+def test_histogram_partitions_all_orders(spark):
+    o = Catalog(spark, SF_DIR).orders
+    out = REGISTRY["agg_histogram"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_orders"] for r in out) == o.count()
+    for r in out:
+        assert r["bucket_hi"] - r["bucket_lo"] == 25000.0
+
+
+def test_quality_audit_clean_fixture(spark):
+    vals = {
+        r["check_name"]: r["value"]
+        for r in REGISTRY["data_quality_audit"].fn(spark, SF_DIR).collect()
+    }
+    assert vals["orders_rowcount"] > 0
+    for check in (
+        "orderkey_nulls",
+        "orderkey_dups",
+        "totalprice_nonpositive",
+        "orderdate_out_of_range",
+        "orphan_custkeys",
+    ):
+        assert vals[check] == 0.0, f"{check}: {vals[check]}"

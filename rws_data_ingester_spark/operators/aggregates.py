@@ -426,3 +426,31 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query("agg_hll_sketch_merge", oracle=None)  # sketch binary is engine-specific → rows-only
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): build ONE sketch per day, then union
+    the daily sketches and estimate total distinct users — the
+    incremental-rollup pattern that replaces re-scanning raw history for
+    every distinct-count refresh. At 100 TB the daily sketches are a few
+    KB each and live in the rollup table; a month-to-date distinct is a
+    30-sketch union, not a 3 TB shuffle. approx_count_distinct can't do
+    this (its partials aren't exposed); sketch columns are. Output pins
+    the estimate next to the exact count; the test asserts <5% error
+    and that the union of daily sketches equals sketching the whole
+    stream directly."""
+    ev = Catalog(spark, sf_dir).events
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    merged = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct_users"),
+        F.count("*").alias("n_daily_sketches"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct_users"))
+    return merged.crossJoin(exact).select(
+        "est_distinct_users", "exact_distinct_users", "n_daily_sketches"
+    )

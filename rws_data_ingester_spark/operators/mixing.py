@@ -348,3 +348,35 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("thr") / F.lit(16777216.0), 6).alias("samp_rate"),
         )
     )
+
+
+@query("sample_weighted_reservoir", oracle=None)  # pow() is libm-dependent → rows-only
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k=5 per
+    language, weight = document length (Efraimidis-Spirakis A-ES: rank by
+    u^(1/w) with u drawn per row, keep the top k per group). The draw is
+    derived from md5(doc_id) — no RNG state, reproducible on any cluster
+    size and across re-runs, same contract as sample_deterministic. The
+    per-group top-k is a rank-limited window (WindowGroupLimit pushes k
+    into the sort), so the shuffle per group carries k rows, not the
+    corpus. Registered rows-only: u^(1/w) goes through pow(), whose
+    last-ulp behavior is libm-specific, so a DuckDB oracle could flip a
+    borderline rank; determinism and bias are pinned in tests instead."""
+    d = Catalog(spark, sf_dir).documents
+    # u in (0, 1): 8 hex digits of md5 → 32-bit int, +0.5 to stay off 0
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.pow(u, 1.0 / F.greatest(F.col("n_chars").cast("double"), F.lit(1.0)))
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        d.select("doc_id", "lang", "n_chars", key.alias("es_key"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "lang", "n_chars", "rank")
+    )

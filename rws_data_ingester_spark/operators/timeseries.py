@@ -198,3 +198,102 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     )
+
+
+@query(
+    "engagement_rolling_active",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), bounds AS (
+      SELECT MIN(d) AS lo, MAX(d) AS hi FROM days
+    ), contrib AS (
+      SELECT DISTINCT user_id, d + x * INTERVAL 1 DAY AS obs_day
+      FROM days, (SELECT unnest(generate_series(0, 6)) AS x)
+    ), wau AS (
+      SELECT CAST(obs_day AS DATE) AS obs_day, COUNT(*)::BIGINT AS wau
+      FROM contrib GROUP BY obs_day
+    ), dau AS (
+      SELECT d AS obs_day, COUNT(*)::BIGINT AS dau FROM days GROUP BY d
+    )
+    SELECT strftime(w.obs_day, '%Y-%m-%d') AS day,
+           COALESCE(d.dau, 0)::BIGINT AS dau,
+           w.wau
+    FROM wau w LEFT JOIN dau d ON w.obs_day = d.obs_day, bounds b
+    WHERE w.obs_day BETWEEN b.lo AND b.hi
+    """,
+)
+def engagement_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU + trailing-7-day WAU per day via the contribution-day
+    trick: each (user, active-day) cell CONTRIBUTES to the 7 observation
+    days it falls inside, so the rolling distinct count becomes a plain
+    groupBy over exploded cells — no per-day self-join against the event
+    stream, no windowed COUNT DISTINCT (which Spark can't do over a
+    range frame anyway). Shuffle volume is user-days x 7 cells, not
+    events. The approximate sibling for wider windows is
+    agg_hll_sketch_merge (mergeable sketches instead of exact cells)."""
+    ev = Catalog(spark, sf_dir).events
+    days = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    contrib = (
+        days.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
+            "d",
+        )
+        .select("user_id", F.date_add("d", F.col("x")).alias("obs_day"))
+        .distinct()
+    )
+    wau = contrib.groupBy("obs_day").agg(F.count("*").alias("wau"))
+    dau = days.groupBy(F.col("d").alias("obs_day")).agg(F.count("*").alias("dau"))
+    return (
+        wau.join(dau, "obs_day", "left")
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("obs_day").between(F.col("lo"), F.col("hi")))
+        .select(
+            F.date_format("obs_day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("dau"), F.lit(0)).alias("dau"),
+            "wau",
+        )
+    )
+
+
+@query(
+    "trend_wow_revenue",
+    oracle="""
+    WITH wk AS (
+      SELECT date_trunc('week', o_orderdate) AS w,
+             SUM(o_totalprice) AS rev,
+             COUNT(*)::BIGINT AS n_orders
+      FROM orders GROUP BY date_trunc('week', o_orderdate)
+    )
+    SELECT strftime(w, '%Y-%m-%d') AS week_start,
+           ROUND(rev, 2) AS revenue,
+           n_orders,
+           ROUND(rev - LAG(rev) OVER (ORDER BY w), 2) AS wow_delta,
+           ROUND((rev / LAG(rev) OVER (ORDER BY w) - 1.0) * 100.0, 4)
+             AS wow_pct
+    FROM wk
+    """,
+)
+def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue trend: weekly rollup, then lag() deltas.
+    The unpartitioned lag window is deliberate and safe — it runs over
+    the WEEKLY AGGREGATE (one row per calendar week, bounded by the
+    calendar, not the data), never over the fact table; the fact
+    collapses map-side first."""
+    o = Catalog(spark, sf_dir).orders
+    wk = o.groupBy(F.date_trunc("week", "o_orderdate").alias("w")).agg(
+        F.sum("o_totalprice").alias("rev"), F.count("*").alias("n_orders")
+    )
+    lag = F.lag("rev").over(W.orderBy("w"))
+    return wk.select(
+        F.date_format("w", "yyyy-MM-dd").alias("week_start"),
+        F.round("rev", 2).alias("revenue"),
+        "n_orders",
+        F.round(F.col("rev") - lag, 2).alias("wow_delta"),
+        F.round((F.col("rev") / lag - 1.0) * 100.0, 4).alias("wow_pct"),
+    )

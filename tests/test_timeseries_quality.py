@@ -106,3 +106,68 @@ def test_quality_audit_clean_fixture(spark):
         "orphan_custkeys",
     ):
         assert vals[check] == 0.0, f"{check}: {vals[check]}"
+
+
+def test_rolling_active_wau_bounds(spark):
+    ev = Catalog(spark, SF_DIR).events
+    n_users = ev.select("user_id").distinct().count()
+    n_days = ev.select(F.date_trunc("day", "ts")).distinct().count()
+    out = REGISTRY["engagement_rolling_active"].fn(spark, SF_DIR).collect()
+    assert len(out) == n_days  # one row per day in the observed range
+    for r in out:
+        assert r["dau"] <= r["wau"] <= n_users
+    # trailing window ramps up: by day 7 the WAU must exceed any single DAU
+    by_day = sorted(out, key=lambda r: r["day"])
+    if len(by_day) > 7:
+        assert by_day[7]["wau"] >= max(r["dau"] for r in by_day[:8])
+
+
+def test_wow_trend_first_week_has_no_delta(spark):
+    out = REGISTRY["trend_wow_revenue"].fn(spark, SF_DIR).collect()
+    by_week = sorted(out, key=lambda r: r["week_start"])
+    assert by_week[0]["wow_delta"] is None and by_week[0]["wow_pct"] is None
+    assert all(r["wow_delta"] is not None for r in by_week[1:])
+    o = Catalog(spark, SF_DIR).orders
+    total = o.agg(F.round(F.sum("o_totalprice"), 0)).collect()[0][0]
+    assert abs(sum(r["revenue"] for r in out) - total) < 1.0
+
+
+def test_hll_sketch_merge_matches_exact_within_5pct(spark):
+    row = REGISTRY["agg_hll_sketch_merge"].fn(spark, SF_DIR).collect()[0]
+    est, exact = row["est_distinct_users"], row["exact_distinct_users"]
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    assert row["n_daily_sketches"] > 1
+
+
+def test_hll_union_of_dailies_equals_direct_sketch(spark):
+    """Merging per-day sketches must estimate the same as sketching the
+    whole stream in one pass — the property that makes sketches
+    incrementally maintainable."""
+    ev = Catalog(spark, SF_DIR).events
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    merged = (
+        ev.groupBy(F.date_trunc("day", "ts"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    assert direct == merged
+
+
+def test_weighted_reservoir_k_per_group_and_bias(spark):
+    d = Catalog(spark, SF_DIR).documents
+    out = REGISTRY["sample_weighted_reservoir"].fn(spark, SF_DIR).collect()
+    per_lang = defaultdict(list)
+    for r in out:
+        per_lang[r["lang"]].append(r)
+    n_langs = d.select("lang").distinct().count()
+    assert len(per_lang) == n_langs
+    for lang, rows in per_lang.items():
+        assert len(rows) == min(5, d.filter(F.col("lang") == lang).count())
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+    # length-weighted draw must overrepresent long documents overall
+    corpus_avg = d.agg(F.avg("n_chars")).collect()[0][0]
+    sample_avg = sum(r["n_chars"] for r in out) / len(out)
+    assert sample_avg > corpus_avg

@@ -736,3 +736,61 @@ def sql_passthrough_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     cat = Catalog(spark, sf_dir)
     cat.register_views(("orders", "customer"))
     return spark.sql(_SHARED_SQL)
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+) t
+WHERE c.c_custkey < 100
+"""
+
+
+@query("join_lateral_topn", oracle=_LATERAL_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with a per-row ORDER BY ... LIMIT —
+    the SQL-standard spelling of top-n-per-group. Catalyst decorrelates
+    the lateral into a DomainJoin and the limit becomes a rank filter, so
+    the physical plan is the same WindowGroupLimit shape as
+    window_topk_per_group — per-group partial limits before the shuffle,
+    never a per-customer re-scan of orders. The identical string runs on
+    DuckDB as the oracle (portable ANSI, like
+    sql_passthrough_segment_revenue)."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("customer", "orders"))
+    return spark.sql(_LATERAL_SQL)
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH n AS (SELECT n_nationkey, nullif(n_regionkey, 2) AS rk FROM nation),
+         r AS (SELECT r_regionkey, r_name, nullif(r_regionkey, 2) AS rk
+               FROM region)
+    SELECT r.r_name, COUNT(n.n_nationkey)::BIGINT AS n_nations
+    FROM n JOIN r ON n.rk IS NOT DISTINCT FROM r.rk
+    GROUP BY r.r_name
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing, the semantic a plain equi-join
+    silently drops. Region 2's key is nulled on both sides, so its
+    nations survive only under null-safe semantics — the oracle pins
+    exactly that. Catalyst plans <=> as a hash join (null-safe keys hash
+    like values), so the scale shape is identical to the plain join."""
+    cat = Catalog(spark, sf_dir)
+    n = cat.nation.select(
+        "n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk")
+    )
+    r = cat.region.select(
+        "r_name", F.nullif(F.col("r_regionkey"), F.lit(2)).alias("rk")
+    )
+    return (
+        n.join(r, n["rk"].eqNullSafe(r["rk"]))
+        .groupBy("r_name")
+        .agg(F.count("n_nationkey").alias("n_nations"))
+    )

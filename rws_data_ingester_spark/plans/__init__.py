@@ -55,6 +55,8 @@ _BACK = (
     "text_length_outliers",
     "rollup_time_hierarchy",
     "text_token_count_bpe",
+    "multimodal_image_decode",
+    "multimodal_audio_features",
 )
 _reordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
 for _n, _q in list(REGISTRY.items()):

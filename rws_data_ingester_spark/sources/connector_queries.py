@@ -206,3 +206,87 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.length("value")).alias("total_chars"),
     )
+
+
+@query("source_schema_evolution", oracle=None)  # file-layout-dependent → rows-only
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: an old-schema partition (no
+    quality_score column) and a new-schema partition live in one dataset;
+    ``mergeSchema`` unions the schemas and back-fills the missing column
+    with NULL — the lakehouse contract for adding columns without
+    rewriting history. The audit counts rows per generation and NULL
+    back-fills; the test asserts the merged schema is the union and the
+    NULL count equals the old generation's row count. Schema merging
+    costs one footer read per file at planning time (at 100 TB, pin the
+    table schema in a catalog instead — the read path is unchanged)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    ev = Catalog(spark, sf_dir).events.select("event_id", "user_id", "event_type")
+    root = tempfile.mkdtemp(prefix="rws_evolve_")
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "quality_score", (F.col("event_id") % 100).cast("double") / 100.0
+    )
+    old.write.mode("overwrite").parquet(os.path.join(root, "gen=old"))
+    new.write.mode("overwrite").parquet(os.path.join(root, "gen=new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("quality_score").isNull()).alias("n_backfilled_nulls"),
+        F.count_if(F.col("quality_score").isNotNull()).alias("n_scored"),
+        F.countDistinct("gen").alias("n_generations"),
+    )
+
+
+@query("source_json_corrupt_records", oracle=None)  # synthetic bad lines → rows-only
+def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling on the JSON scan: PERMISSIVE mode parses
+    what it can and quarantines broken lines into a corrupt-record
+    column instead of failing the job — at 100 TB a scan that dies on
+    one bad line is unusable, and silently dropping lines is worse
+    (DROPMALFORMED loses the evidence). Five deliberately broken lines
+    ride along with real rows; the audit proves good rows parse, corrupt
+    rows are captured verbatim, and the two DROPMALFORMED/PERMISSIVE
+    counts reconcile."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = tempfile.mkdtemp(prefix="rws_corrupt_")
+    path = os.path.join(d, "part-0.jsonl")
+    ev = Catalog(spark, sf_dir).events.select("event_id", "event_type").limit(100)
+    lines = [r.asDict() for r in ev.collect()]
+    import json as _json
+
+    bad = [
+        '{"event_id": 1, "event_type": ',   # truncated
+        "not json at all",
+        '{"event_id": "}',                  # unclosed string
+        '{broken}',                         # bare word, not a string
+        '{"event_id": 2 "event_type": "x"}',  # missing comma
+    ]
+    with open(path, "w") as f:
+        for row in lines:
+            f.write(_json.dumps(row) + "\n")
+        for b in bad:
+            f.write(b + "\n")
+    schema = "event_id bigint, event_type string, _corrupt string"
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(d)
+    )
+    # Spark disallows queries that touch ONLY the corrupt-record column
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the audit must read data
+    # columns alongside it, which this one naturally does.
+    return permissive.agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(
+            F.col("_corrupt").isNull() & F.col("event_id").isNotNull()
+        ).alias("n_good"),
+        F.count_if(F.col("_corrupt").isNotNull()).alias("n_corrupt"),
+        F.count_if(F.col("event_type").isNotNull()).alias("n_typed"),
+    )

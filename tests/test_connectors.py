@@ -52,3 +52,29 @@ def test_python_datasource_missing_key_yields_404_row(spark):
     )
     assert [(r["key"], r["status"]) for r in rows] == [("22003", 200), ("99999", 404)]
     assert rows[1]["n_bytes"] == 0
+
+
+def test_schema_evolution_backfills_old_generation(spark):
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.plans import REGISTRY
+    from pyspark.sql import functions as F
+
+    ev = Catalog(spark, SF_DIR).events
+    n_old = ev.filter(F.col("event_id") % 2 == 0).count()
+    n_total = ev.count()
+    row = REGISTRY["source_schema_evolution"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_rows"] == n_total
+    assert row["n_backfilled_nulls"] == n_old
+    assert row["n_scored"] == n_total - n_old
+    assert row["n_generations"] == 2
+
+
+def test_corrupt_json_quarantined_not_dropped(spark):
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    row = REGISTRY["source_json_corrupt_records"].fn(spark, SF_DIR).collect()[0]
+    assert row["n_corrupt"] == 5
+    assert row["n_good"] == row["n_lines"] - 5
+    assert row["n_good"] > 0

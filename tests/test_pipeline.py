@@ -85,3 +85,68 @@ def test_offline_pipeline_deterministic(spark, tmp_path):
 def test_render_report_page_newline_to_br():
     html = render_report_page("line1\nline2", now=datetime(2026, 1, 1, tzinfo=timezone.utc))
     assert "line1<br>line2" in html
+
+
+# --------------------------------------------------------------------------
+# Real multimodal codecs (PPM / WAV) — closed-form pins
+# --------------------------------------------------------------------------
+def test_ppm_roundtrip_exact():
+    import numpy as np
+
+    from rws_data_ingester_spark.operators.multimodal import decode_ppm, make_ppm
+
+    img = decode_ppm(make_ppm(7))
+    assert img.shape == (8, 16, 3)
+    # gradient closed form: px[y, x, c] = (x + y + 7*(c+1)) % 256
+    x = np.arange(16)[None, :, None]
+    y = np.arange(8)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    assert (img == (x + y + 7 * (c + 1)) % 256).all()
+
+
+def test_wav_roundtrip_and_sine_features():
+    import numpy as np
+
+    from rws_data_ingester_spark.operators.multimodal import decode_wav, make_wav
+
+    rate, s = decode_wav(make_wav(123))  # freq = 100 + 123 = 223 Hz
+    assert rate == 8000 and len(s) == 1024
+    x = s.astype(np.float64) / 32767.0
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    assert abs(np.sqrt((x * x).mean()) - 0.5 / np.sqrt(2)) < 0.01
+    # zero crossings ≈ 2 * freq * duration = 2 * 223 * (1024/8000) ≈ 57
+    zc = int(((x[:-1] * x[1:]) < 0).sum())
+    assert abs(zc - 2 * 223 * 1024 / 8000) <= 2
+
+
+def test_image_decode_query_matches_gradient_closed_form(spark):
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    rows = REGISTRY["multimodal_image_decode"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (r["width"], r["height"]) == (16, 8)
+        assert (r["rs_width"], r["rs_height"]) == (8, 4)
+        # mean of (x+y+k) % 256 over x<16, y<8 with x+y+k < 256 is
+        # mean(x)+mean(y)+k = 7.5 + 3.5 + k for small k; wraps for large k
+        k = r["doc_id"]
+        if k + 22 < 256:
+            assert abs(r["mean_r"] - (11.0 + k)) < 1e-6
+        # resize preserves the global mean exactly (block average)
+        assert abs(r["rs_mean"] - (r["mean_r"] + r["mean_g"] + r["mean_b"]) / 3) < 1e-4
+
+
+def test_audio_features_query_sine_pins(spark):
+    import numpy as np
+
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    rows = REGISTRY["multimodal_audio_features"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["sample_rate"] == 8000 and r["n_samples"] == 1024
+        assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.01
+        freq = 100 + (r["doc_id"] % 400)
+        assert abs(r["zero_crossings"] - 2 * freq * 1024 / 8000) <= 2

@@ -332,3 +332,50 @@ def test_zorder_write_preserves_rows(spark):
     assert rows_to_multiset(li.columns, back.collect()) == rows_to_multiset(
         li.columns, li.collect()
     )
+
+
+def test_lateral_topn_compiles_to_window_group_limit(spark):
+    """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate to
+    the WindowGroupLimit shape (per-group partial limits before the
+    shuffle), not a per-outer-row re-scan of orders."""
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    df = REGISTRY["join_lateral_topn"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+
+
+def test_lateral_topn_matches_window_formulation(spark):
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.plans import REGISTRY
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    cat = Catalog(spark, SF_DIR)
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    expected = sorted(
+        tuple(r)
+        for r in cat.orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 2) & (F.col("o_custkey") < 100))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["join_lateral_topn"].fn(spark, SF_DIR).collect()
+    )
+    assert got == expected
+
+
+def test_null_safe_join_keeps_nulled_region(spark):
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    rows = REGISTRY["join_null_safe"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_nations"] for r in rows) == 25  # no nation dropped
+    assert len(rows) == 5  # all five regions present, incl. the nulled one

@@ -297,3 +297,33 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(attribute, out_schema)
     )
+
+
+@query(
+    "udf_sql_registered",
+    oracle="""
+    SELECT r_name,
+           (length(r_name) - length(translate(lower(r_name), 'aeiou', '')))::BIGINT
+             AS n_vowels
+    FROM region
+    """,
+)
+def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-facing UDF surface: ``spark.udf.register`` makes a Python
+    function callable from SQL strings, completing the extension-point
+    matrix (DataFrame-side UDFs are demonstrated by udf_scalar_vowels).
+    Same deliberate-demo contract as that query: row-at-a-time Python on
+    the 5-row region table ONLY (allow-listed in plan hygiene); anything
+    hot-path belongs in pandas_udf. The oracle recomputes the vowel count
+    with pure SQL string functions — the UDF must agree with the
+    built-in-only formulation."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views(("region",))
+    spark.udf.register(
+        "py_vowel_count",
+        lambda s: sum(s.lower().count(v) for v in "aeiou") if s else 0,
+        "long",
+    )
+    return spark.sql(
+        "SELECT r_name, py_vowel_count(r_name) AS n_vowels FROM region"
+    )

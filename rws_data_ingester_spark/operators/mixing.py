@@ -380,3 +380,37 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "lang", "n_chars", "rank")
     )
+
+
+@query(
+    "pipeline_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc' THEN 'train'
+                  WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*)::BIGINT AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def pipeline_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test split (md5-prefix bands:
+    0x00-0xcb train, 0xcc-0xe5 val, 0xe6-0xff test), reported per
+    language so stratification drift is visible. Same engine-independent
+    hash rule as sample_deterministic: a document's split NEVER changes
+    across re-runs, cluster sizes, or engines — the property that keeps
+    eval sets uncontaminated as the corpus grows. Pure map-side assign +
+    one cell-level aggregate."""
+    d = Catalog(spark, sf_dir).documents
+    h = _md5_prefix(F.col("doc_id"))
+    split = (
+        F.when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -128,3 +128,45 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@query(
+    "pipeline_cached_reuse",
+    oracle="""
+    WITH open_orders AS (
+      SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT 'n_by_priority_rows' AS metric,
+           COUNT(DISTINCT o_orderpriority)::DOUBLE AS value FROM open_orders
+    UNION ALL
+    SELECT 'open_revenue', ROUND(SUM(o_totalprice), 2) FROM open_orders
+    UNION ALL
+    SELECT 'open_count', COUNT(*)::DOUBLE FROM open_orders
+    """,
+)
+def pipeline_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit mid-pipeline caching: one filtered projection feeds three
+    separate aggregates, so without a cache the scan+filter runs three
+    times. ``.cache()`` materializes it once (columnar, memory-first) and
+    every consumer reads the InMemoryTableScan *(plan-asserted in
+    tests/test_scale_plans.py)*. At 100 TB the same call is
+    ``persist(MEMORY_AND_DISK)`` and the decision rule is: cache when
+    (consumers - 1) x scan cost > materialization cost — here 2 x scan
+    for one write. The cached frame is the filtered SUBSET, not the
+    fact table."""
+    o = Catalog(spark, sf_dir).orders
+    open_orders = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_orderpriority", "o_totalprice")
+        .cache()
+    )
+    a = open_orders.agg(
+        F.countDistinct("o_orderpriority").cast("double").alias("value")
+    ).select(F.lit("n_by_priority_rows").alias("metric"), "value")
+    b = open_orders.agg(
+        F.round(F.sum("o_totalprice"), 2).alias("value")
+    ).select(F.lit("open_revenue").alias("metric"), "value")
+    c = open_orders.agg(F.count("*").cast("double").alias("value")).select(
+        F.lit("open_count").alias("metric"), "value"
+    )
+    return a.unionByName(b).unionByName(c)

@@ -106,3 +106,120 @@ def bpe_vocab_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a handmade corpus and assert re-run determinism."""
     d = Catalog(spark, sf_dir).documents
     return bpe_train(d, N_MERGES)
+
+
+CHUNK_TOKS, CHUNK_STRIDE = 100, 80
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           (start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+           start::BIGINT AS start_tok,
+           len(toks[start + 1 : start + {CHUNK_TOKS}])::BIGINT AS n_chunk_toks,
+           array_to_string(toks[start + 1 : start + {CHUNK_TOKS}], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (window {CHUNK}=100 tokens,
+    stride 80 → 20-token overlap) with provenance (doc_id, chunk_id,
+    start offset) — the RAG-indexing / long-document training prep pass.
+    Entirely row-local: split once, generate starts with ``sequence``,
+    slice per start — higher-order functions in codegen, zero Python,
+    zero shuffle (the plan is scan→generate→project). Rows explode by
+    ~n_tokens/stride, the unavoidable output factor."""
+    d = Catalog(spark, sf_dir).documents
+    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("toks") - 1, F.lit(0)),
+                F.lit(CHUNK_STRIDE),
+            )
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKS)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_toks"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+SPAN_TOKS = 3
+
+
+@query("text_span_corruption", oracle=None)  # sentinel renumbering → rows-only
+def text_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span corruption prep: tokens are grouped into spans of 3;
+    a span is masked iff the first hex digit of md5(doc_id, '-', span_idx)
+    is < '2' (12.5% expected mask rate — deterministic, engine- and
+    re-run-stable like every sampling rule here). The corrupted sequence
+    replaces each masked span with a numbered sentinel <extra_id_k>; the
+    target sequence lists sentinel + original span — exactly the
+    encoder/decoder pair a denoising objective trains on.
+
+    All row-local higher-order functions (slice/transform/aggregate/
+    filter/flatten) in codegen: no Python, no shuffle. The sentinel
+    running count is a prefix sum over the span-flag array — O(spans²)
+    per row, bounded by document length, never by corpus size. Tests pin
+    reconstruction (corrupted + targets re-assemble the original text)
+    and the mask-rate envelope."""
+    d = Catalog(spark, sf_dir).documents
+    expr = f"""
+    named_struct(
+      'n_tokens', size(toks),
+      'n_masked_spans', aggregate(flags, 0, (a, x) -> a + x),
+      'corrupted_text', array_join(flatten(transform(idxs, i ->
+         IF(element_at(flags, i + 1) = 1,
+            array(concat('<extra_id_',
+                  aggregate(slice(flags, 1, i), 0, (a, x) -> a + x), '>')),
+            slice(toks, i * {SPAN_TOKS} + 1, {SPAN_TOKS})))), ' '),
+      'target_text', array_join(flatten(transform(idxs, i ->
+         IF(element_at(flags, i + 1) = 1,
+            concat(array(concat('<extra_id_',
+                  aggregate(slice(flags, 1, i), 0, (a, x) -> a + x), '>')),
+                  slice(toks, i * {SPAN_TOKS} + 1, {SPAN_TOKS})),
+            cast(array() as array<string>)))), ' ')
+    )
+    """
+    prepared = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.expr(
+            f"sequence(0, cast(ceil(size(toks) / {SPAN_TOKS}.0) as int) - 1)"
+        ).alias("idxs"),
+    ).select(
+        "doc_id",
+        "toks",
+        "idxs",
+        F.expr(
+            "transform(idxs, i -> IF(substring(md5(concat(cast(doc_id as string),"
+            " '-', cast(i as string))), 1, 1) < '2', 1, 0))"
+        ).alias("flags"),
+    )
+    return prepared.select("doc_id", F.expr(expr).alias("s")).select(
+        "doc_id",
+        F.col("s.n_tokens").cast("long").alias("n_tokens"),
+        F.col("s.n_masked_spans").cast("long").alias("n_masked_spans"),
+        F.col("s.corrupted_text").alias("corrupted_text"),
+        F.col("s.target_text").alias("target_text"),
+    )

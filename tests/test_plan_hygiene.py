@@ -23,7 +23,7 @@ from tests.conftest import SF_DIR
 
 # Queries allowed to carry a row-at-a-time Python UDF (deliberate demos
 # on tiny tables, documented in their docstrings).
-ROW_UDF_ALLOWED = {"udf_scalar_vowels"}
+ROW_UDF_ALLOWED = {"udf_scalar_vowels", "udf_sql_registered"}
 
 # Queries allowed a CartesianProduct node (none today; broadcast NLJ does
 # not produce this node, so any appearance is an unintended plan).

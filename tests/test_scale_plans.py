@@ -379,3 +379,14 @@ def test_null_safe_join_keeps_nulled_region(spark):
     rows = REGISTRY["join_null_safe"].fn(spark, SF_DIR).collect()
     assert sum(r["n_nations"] for r in rows) == 25  # no nation dropped
     assert len(rows) == 5  # all five regions present, incl. the nulled one
+
+
+def test_cached_reuse_reads_in_memory_scan(spark):
+    """All three consumers of the cached projection must read the
+    InMemoryTableScan, not re-run the parquet scan+filter."""
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    df = REGISTRY["pipeline_cached_reuse"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3

@@ -175,3 +175,76 @@ def test_centroids_cover_every_label_and_dim(spark):
     dims = e.select(F.size("embedding").alias("d")).distinct().collect()
     assert len(dims) == 1
     assert out.count() == n_labels * dims[0]["d"]
+
+
+# --------------------------------------------------------------------------
+# Chunking / span corruption / split
+# --------------------------------------------------------------------------
+def test_chunk_overlap_covers_every_token(spark):
+    from rws_data_ingester_spark.catalog import Catalog
+
+    d = Catalog(spark, SF_DIR).documents
+    docs = {r["doc_id"]: r["text"].split(" ") for r in d.collect()}
+    out = REGISTRY["text_chunk_overlap"].fn(spark, SF_DIR).collect()
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in out:
+        by_doc[r["doc_id"]].append(r)
+    for doc_id, toks in docs.items():
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["start_tok"])
+        assert chunks[0]["start_tok"] == 0
+        covered = 0
+        for ch in chunks:
+            assert ch["start_tok"] <= covered  # no gap between chunks
+            covered = max(covered, ch["start_tok"] + ch["n_chunk_toks"])
+            got = ch["chunk_text"].split(" ")
+            assert got == toks[ch["start_tok"] : ch["start_tok"] + 100]
+        assert covered == len(toks)  # full coverage
+
+
+def test_span_corruption_reconstructs_original(spark):
+    from rws_data_ingester_spark.catalog import Catalog
+
+    d = Catalog(spark, SF_DIR).documents
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    out = REGISTRY["text_span_corruption"].fn(spark, SF_DIR).collect()
+    assert len(out) == len(texts)
+    total_spans = total_masked = 0
+    for r in out:
+        total_masked += r["n_masked_spans"]
+        total_spans += -(-r["n_tokens"] // 3)
+        # splice targets back into corrupted → original
+        targets: dict[str, list[str]] = {}
+        cur = None
+        for tok in (r["target_text"].split(" ") if r["target_text"] else []):
+            if tok.startswith("<extra_id_"):
+                cur = tok
+                targets[cur] = []
+            else:
+                targets[cur].append(tok)
+        rebuilt: list[str] = []
+        for tok in r["corrupted_text"].split(" "):
+            if tok.startswith("<extra_id_"):
+                rebuilt.extend(targets[tok])
+            else:
+                rebuilt.append(tok)
+        assert " ".join(rebuilt) == texts[r["doc_id"]], r["doc_id"]
+    # expected mask rate 2/16 = 12.5%; allow a generous sampling envelope
+    rate = total_masked / total_spans
+    assert 0.08 < rate < 0.18, rate
+
+
+def test_train_val_test_partitions_corpus(spark):
+    from rws_data_ingester_spark.catalog import Catalog
+
+    d = Catalog(spark, SF_DIR).documents
+    rows = REGISTRY["pipeline_train_val_test"].fn(spark, SF_DIR).collect()
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    total = d.count()
+    assert sum(by_split.values()) == total  # disjoint + complete
+    assert set(by_split) == {"train", "val", "test"}
+    assert 0.7 < by_split["train"] / total < 0.9
+    assert by_split["val"] / total < 0.2 and by_split["test"] / total < 0.2

@@ -318,13 +318,20 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expectation-suite audit over orders (the Deequ/Great-Expectations
     shape): row count, key null/duplicate counts, domain checks, and a
     cross-table referential-integrity probe (orders whose customer does
-    not exist). The five column checks are ONE pass over the fact in a
-    single aggregate (conditional count_if, map-side partial); only the
-    RI probe needs a join, and it broadcasts the key-only dimension side
-    then ships a single count. Output is the narrow (check_name, value)
-    frame a quality dashboard ingests."""
+    not exist). ALL SIX checks run in ONE pass over the fact: the
+    key-only dimension side is broadcast-left-joined ahead of a single
+    conditional aggregate (count_if per check, map-side partial), so the
+    RI probe rides the same scan as the column checks instead of a
+    second one. Output is the narrow (check_name, value) frame a quality
+    dashboard ingests."""
     c = Catalog(spark, sf_dir)
-    o = c.orders
+    o = c.orders.join(
+        F.broadcast(
+            c.customer.select(F.col("c_custkey").alias("_ck"))
+        ),
+        F.col("o_custkey") == F.col("_ck"),
+        "left",
+    )
     col_checks = o.agg(
         F.count("*").cast("double").alias("orders_rowcount"),
         F.count_if(F.col("o_orderkey").isNull()).cast("double").alias("orderkey_nulls"),
@@ -340,24 +347,16 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("double")
         .alias("orderdate_out_of_range"),
+        F.count_if(F.col("_ck").isNull()).cast("double").alias("orphan_custkeys"),
     )
-    narrow = col_checks.select(
+    return col_checks.select(
         F.expr(
             "explode(map("
             "'orders_rowcount', orders_rowcount,"
             "'orderkey_nulls', orderkey_nulls,"
             "'orderkey_dups', orderkey_dups,"
             "'totalprice_nonpositive', totalprice_nonpositive,"
-            "'orderdate_out_of_range', orderdate_out_of_range))"
+            "'orderdate_out_of_range', orderdate_out_of_range,"
+            "'orphan_custkeys', orphan_custkeys))"
         ).alias("check_name", "value")
     )
-    orphans = (
-        o.join(
-            F.broadcast(c.customer.select("c_custkey")),
-            o["o_custkey"] == F.col("c_custkey"),
-            "left_anti",
-        )
-        .agg(F.count("*").cast("double").alias("value"))
-        .select(F.lit("orphan_custkeys").alias("check_name"), "value")
-    )
-    return narrow.unionByName(orphans)

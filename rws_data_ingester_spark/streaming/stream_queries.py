@@ -118,3 +118,24 @@ def stream_parquet_sink_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no loss, no duplicates) — which makes this streaming query
     oracle-checkable, unlike the windowed ones."""
     return jobs.parquet_sink_two_phase_replay(spark, sf_dir)
+
+
+@query(
+    "stream_scheduled_refresh",
+    oracle=REGISTRY["tumbling_window_hourly"].oracle,
+)
+def stream_scheduled_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's cron model end-to-end (cronjob.sh:1-3 →
+    generate.sh: full refresh, output overwritten every run): one
+    availableNow pass of the tumbling-window agg through an idempotent
+    foreachBatch overwrite sink, then read the refreshed store back.
+    Because the sink holds exactly the completed aggregate, the refreshed
+    table carries the SAME oracle as the batch twin — the driver verifies
+    the whole refresh loop (stream → overwrite → read-back), not just the
+    in-memory result. Overwrite idempotency (a second refresh leaves the
+    store identical) is pinned separately in tests/test_streaming.py."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="rws_refresh_")
+    jobs.scheduled_refresh(spark, sf_dir, out)
+    return spark.read.parquet(out)

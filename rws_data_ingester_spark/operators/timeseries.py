@@ -311,3 +311,52 @@ def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rev") - lag, 2).alias("wow_delta"),
         F.round((F.col("rev") / lag - 1.0) * 100.0, 4).alias("wow_pct"),
     )
+
+
+@query(
+    "timeseries_anomaly_zscore",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*)::BIGINT AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), stats AS (
+      SELECT event_type, AVG(n) AS mu, STDDEV_SAMP(n) AS sd
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type,
+           strftime(c.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           c.n AS n_events,
+           ROUND((c.n - s.mu) / s.sd, 2) AS zscore,
+           (CASE WHEN abs((c.n - s.mu) / s.sd) >= 2.0 THEN 1 ELSE 0 END)::BIGINT
+             AS is_anomaly
+    FROM cells c JOIN stats s ON c.event_type = s.event_type
+    """,
+)
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: z-score each (type, hour) cell's event
+    count against its type's distribution, flag |z| >= 2 — the standard
+    first-line monitoring rule over a metric stream. The fact collapses
+    to hourly cells map-side; stats are a per-type aggregate over cells
+    broadcast back, so the whole detector is two cell-level aggregates
+    regardless of corpus size. zscore rounds at 2 decimals: mu/sd are
+    float sums whose last bits are summation-order-dependent across
+    engines, and a coarse rounding keeps the oracle hash stable (the
+    |z|>=2 cut sits far above that noise floor)."""
+    ev = Catalog(spark, sf_dir).events
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"))
+    stats = cells.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        cells.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            F.date_format("h", _TS_FMT).alias("hour_start"),
+            F.col("n").alias("n_events"),
+            F.round(z, 2).alias("zscore"),
+            F.when(F.abs(z) >= 2.0, 1).otherwise(0).cast("long").alias("is_anomaly"),
+        )
+    )

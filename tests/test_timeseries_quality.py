@@ -171,3 +171,17 @@ def test_weighted_reservoir_k_per_group_and_bias(spark):
     corpus_avg = d.agg(F.avg("n_chars")).collect()[0][0]
     sample_avg = sum(r["n_chars"] for r in out) / len(out)
     assert sample_avg > corpus_avg
+
+
+def test_anomaly_zscore_flags_match_threshold(spark):
+    out = REGISTRY["timeseries_anomaly_zscore"].fn(spark, SF_DIR).collect()
+    assert out
+    for r in out:
+        assert r["is_anomaly"] == (1 if abs(r["zscore"]) >= 2.0 else 0) or (
+            # rounding display at 2dp can disagree with the unrounded cut
+            # only within half an ulp of the threshold
+            abs(abs(r["zscore"]) - 2.0) <= 0.005
+        )
+    # a healthy detector flags a small minority, not zero and not half
+    frac = sum(r["is_anomaly"] for r in out) / len(out)
+    assert 0.0 < frac < 0.3, frac

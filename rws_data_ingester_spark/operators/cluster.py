@@ -23,10 +23,13 @@ Scale design:
   ``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` to durable
   storage); without it the iterative plan grows unboundedly and the
   optimizer re-derives every prior round each action.
-- For adversarially deep graphs (long chains), swap the propagation body
-  for the alternating large-star/small-star rounds of Kiveris et al.,
-  "Connected Components in MapReduce and Beyond" (SOCC 2014) — O(log n)
-  rounds with the same DataFrame shapes. Dedup graphs never need it.
+- For adversarially deep graphs (long chains), ``connected_components_star``
+  implements the alternating large-star/small-star rounds of Kiveris et
+  al., "Connected Components in MapReduce and Beyond" (SOCC 2014) —
+  O(log n) rounds regardless of diameter, same output contract
+  (equivalence-tested on random graphs, corpus LSH edges, and a
+  150-node chain where propagation provably cannot finish). Shallow
+  dedup graphs keep the cheaper propagation form.
 - The per-round convergence check is a driver-side ``count`` of changed
   labels — inherent to any iterative fixpoint (GraphX/MLlib do the
   same); it moves one long per round, never data.
@@ -145,3 +148,107 @@ def pipeline_near_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Alternating large-star / small-star connected components
+# (Kiveris et al., "Connected Components in MapReduce and Beyond",
+# SOCC 2014) — O(log n) rounds regardless of graph diameter, vs the
+# diameter-bounded min-label propagation above. Same output contract.
+# --------------------------------------------------------------------------
+def _canon(a: F.Column, b: F.Column):
+    return [F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")]
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    half = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    return half.union(
+        half.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def _neighborhood_mins(sym: DataFrame) -> DataFrame:
+    """(u, m) where m = min(Γ(u) ∪ {u})."""
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_mv"))
+        .select("u", F.least(F.col("u"), F.col("_mv")).alias("m"))
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds — O(log n) rounds on ANY graph shape, so adversarially deep
+    chains (pathological near-dup graphs: doc A ~ B ~ C ~ ... with no
+    shared band between the ends) converge where min-label propagation
+    needs diameter rounds. Per round: two groupBy-min + join passes over
+    the canonical edge list, lineage cut with localCheckpoint. Output and
+    contract match ``connected_components`` exactly (equivalence-tested).
+
+    large-star(u): every neighbor v > u re-attaches to m = min(Γ⁺(u));
+    small-star(u): every neighbor v < u attaches to m, plus (u, m).
+    The fixpoint is the star from every node to its component minimum."""
+    cur = (
+        edges.select(*_canon(F.col("id_a"), F.col("id_b")))
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev_labels: DataFrame | None = None
+    for _ in range(max_iter):
+        # large star
+        sym = _sym(cur)
+        mins = _neighborhood_mins(sym)
+        joined = sym.join(mins, "u")
+        large = (
+            joined.filter(F.col("v") > F.col("u"))
+            .select(*_canon(F.col("v"), F.col("m")))
+            .union(mins.select(*_canon(F.col("u"), F.col("m"))))
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        # small star
+        sym2 = _sym(large)
+        mins2 = _neighborhood_mins(sym2)
+        joined2 = sym2.join(mins2, "u")
+        cur = (
+            joined2.filter(F.col("v") < F.col("u"))
+            .select(*_canon(F.col("v"), F.col("m")))
+            .union(mins2.select(*_canon(F.col("u"), F.col("m"))))
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        labels = _neighborhood_mins(_sym(cur)).select(
+            F.col("u").alias("id"), F.col("m").alias("component")
+        ).localCheckpoint(eager=True)
+        if prev_labels is not None:
+            changed = (
+                labels.alias("a")
+                .join(prev_labels.alias("b"), "id", "full")
+                .filter(
+                    F.col("a.component").isNull()
+                    | F.col("b.component").isNull()
+                    | (F.col("a.component") != F.col("b.component"))
+                )
+                .count()
+            )
+            if changed == 0:
+                break
+        prev_labels = labels
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    out = prev_labels
+    if vertices is not None:
+        out = (
+            vertices.toDF("id")
+            .join(out, "id", "left")
+            .select("id", F.coalesce("component", F.col("id")).alias("component"))
+        )
+    return out

@@ -174,3 +174,92 @@ def test_vocab_oov_bounds(spark):
     for r in df.collect():
         assert 0 <= r["n_oov"] <= r["n_tokens"]
         assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+# --------------------------------------------------------------------------
+# Large-star / small-star CC (O(log n) rounds)
+# --------------------------------------------------------------------------
+def _cc_sets(rows):
+    from collections import defaultdict
+
+    comp = defaultdict(set)
+    for r in rows:
+        comp[r["component"]].add(r["id"])
+    return sorted(sorted(v) for v in comp.values())
+
+
+def test_star_cc_equals_propagation_on_random_graphs(spark):
+    import random
+
+    from rws_data_ingester_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40)
+        ]
+        edf = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+        )
+        verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        a = _cc_sets(connected_components(edf, vertices=verts).collect())
+        b = _cc_sets(connected_components_star(edf, vertices=verts).collect())
+        assert a == b, f"seed {seed}"
+
+
+def test_star_cc_beats_propagation_on_deep_chain(spark):
+    """A 150-node chain has diameter 149: min-label propagation cannot
+    finish in 8 rounds; the star alternation needs ~log2(150)+1 ≈ 9
+    (8 halvings + the stability-detection round) — the O(log n) claim,
+    demonstrated rather than asserted."""
+    import pytest as _pytest
+
+    from rws_data_ingester_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(149)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=8)
+    out = connected_components_star(chain, max_iter=10).collect()
+    assert len(out) == 150
+    assert {r["component"] for r in out} == {0}
+
+
+def test_star_cc_isolated_vertices(spark):
+    from rws_data_ingester_spark.operators.cluster import connected_components_star
+
+    edf = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    out = {r["id"]: r["component"] for r in connected_components_star(edf, vertices=verts).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_star_cc_equals_propagation_on_corpus_lsh_edges(spark):
+    """Both CC algorithms must produce identical clusters on the REAL
+    near-dup graph (MinHash/LSH star edges of the fixture corpus)."""
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.operators.cluster import (
+        connected_components,
+        connected_components_star,
+    )
+    from rws_data_ingester_spark.operators.dedup import (
+        lsh_star_edges,
+        minhash_signature,
+    )
+
+    d = Catalog(spark, SF_DIR).documents
+    sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
+    edges = lsh_star_edges(sigs, "doc_id")
+    verts = d.select("doc_id")
+    a = _cc_sets(connected_components(edges, vertices=verts).collect())
+    b = _cc_sets(connected_components_star(edges, vertices=verts).collect())
+    assert a == b

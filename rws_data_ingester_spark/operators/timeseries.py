@@ -360,3 +360,39 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.abs(z) >= 2.0, 1).otherwise(0).cast("long").alias("is_anomaly"),
         )
     )
+
+
+@query("engagement_wau_hll", oracle=None)  # sketch estimates → rows-only
+def engagement_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users from MERGED DAILY SKETCHES — the
+    100 TB path for engagement_rolling_active: the raw stream is touched
+    once (per-day HLL sketch build, a few KB per day); every observation
+    day then unions its 7 trailing sketches and estimates. The window
+    join runs over the daily sketch table (calendar-sized), so widening
+    the window or recomputing history never rescans events — the reason
+    rollup tables store sketch columns instead of counts. Accuracy vs the
+    exact contribution-day twin is pinned in tests (<5% per day)."""
+    ev = Catalog(spark, sf_dir).events
+    daily = (
+        ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint(eager=False)
+    )
+    obs = daily.select(F.col("d").alias("obs_day"))
+    trailing = obs.join(
+        daily,
+        (F.col("d") <= F.col("obs_day"))
+        & (F.col("d") >= F.date_sub(F.col("obs_day"), 6)),
+    )
+    return (
+        trailing.groupBy("obs_day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_est"),
+            F.count("*").alias("n_sketches_merged"),
+        )
+        .select(
+            F.date_format("obs_day", "yyyy-MM-dd").alias("day"),
+            "wau_est",
+            "n_sketches_merged",
+        )
+    )

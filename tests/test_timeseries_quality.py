@@ -185,3 +185,25 @@ def test_anomaly_zscore_flags_match_threshold(spark):
     # a healthy detector flags a small minority, not zero and not half
     frac = sum(r["is_anomaly"] for r in out) / len(out)
     assert 0.0 < frac < 0.3, frac
+
+
+def test_wau_hll_tracks_exact_within_5pct(spark):
+    """The sketch-rollup WAU must stay within HLL error of the exact
+    contribution-day form on every observation day."""
+    exact = {
+        r["day"]: r["wau"]
+        for r in REGISTRY["engagement_rolling_active"].fn(spark, SF_DIR).collect()
+    }
+    est = {
+        r["day"]: r["wau_est"]
+        for r in REGISTRY["engagement_wau_hll"].fn(spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact)
+    for day, e in est.items():
+        assert abs(e - exact[day]) / exact[day] < 0.05, (day, e, exact[day])
+    # early days merge fewer than 7 sketches; steady state merges exactly 7
+    merged = {
+        r["day"]: r["n_sketches_merged"]
+        for r in REGISTRY["engagement_wau_hll"].fn(spark, SF_DIR).collect()
+    }
+    assert max(merged.values()) <= 7

@@ -130,6 +130,11 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pipeline_cached_reuse: previous invocation's cached frame, unpersisted
+# on the next call (see the docstring for the lifetime contract).
+_LAST_CACHED_REUSE: DataFrame | None = None
+
+
 @query(
     "pipeline_cached_reuse",
     oracle="""
@@ -153,13 +158,25 @@ def pipeline_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``persist(MEMORY_AND_DISK)`` and the decision rule is: cache when
     (consumers - 1) x scan cost > materialization cost — here 2 x scan
     for one write. The cached frame is the filtered SUBSET, not the
-    fact table."""
+    fact table.
+
+    Cache lifetime: the returned union is lazy, so unpersisting before
+    the caller materializes it would defeat the cache. Instead each
+    invocation unpersists the PREVIOUS invocation's cache, bounding the
+    executor-memory footprint to one live InMemoryRelation no matter how
+    many times the driver sweep / tests call this query; long-lived
+    applications should likewise unpersist once the last consumer has
+    materialized."""
+    global _LAST_CACHED_REUSE
+    if _LAST_CACHED_REUSE is not None:
+        _LAST_CACHED_REUSE.unpersist()
     o = Catalog(spark, sf_dir).orders
     open_orders = (
         o.filter(F.col("o_orderstatus") == "O")
         .select("o_orderpriority", "o_totalprice")
         .cache()
     )
+    _LAST_CACHED_REUSE = open_orders
     a = open_orders.agg(
         F.countDistinct("o_orderpriority").cast("double").alias("value")
     ).select(F.lit("n_by_priority_rows").alias("metric"), "value")

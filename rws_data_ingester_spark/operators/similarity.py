@@ -101,6 +101,31 @@ def hyperplane_signature(df: DataFrame, dim: int = 64, n_planes: int = 16, seed:
     return out.drop(*[f"plane_{i}" for i in range(n_planes)])
 
 
+def banded_signature(
+    sigs: DataFrame, n_bands: int = 4, band_bits: int = 4
+) -> DataFrame:
+    """Split each row's ``lsh_sig`` into ``n_bands`` bands of ``band_bits``
+    bits → (vec_id, band_id, band_val), one row per band (OR-construction:
+    two rows are candidates if they agree on ANY band). Pure bit
+    arithmetic in codegen; the explode multiplies rows by n_bands, not by
+    corpus size."""
+    mask = (1 << band_bits) - 1
+    return sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftrightunsigned(F.col("lsh_sig"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select("vec_id", "band.band_id", "band.band_val")
+
+
 @query("simsearch_lsh_buckets", oracle=None)  # approx → rows-only
 def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via hyperplane-LSH bucketing: neighbors are searched only inside
@@ -113,27 +138,42 @@ def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("simsearch_topk_lsh", oracle=None)  # approx → rows-only
 def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k: exact cosine, but only within the LSH bucket
-    (8-bit prefix of the signature → ~n/256 of the corpus per probe)."""
+    """Approximate top-k via BANDED hyperplane LSH (OR-construction), the
+    same blocking pipeline_embedding_dedup_lsh uses: the 16-bit signature
+    splits into 4 bands × 4 bits, and a corpus row is a candidate for a
+    query iff it agrees with the query on ANY band. For per-bit agreement
+    p = 1-θ/π the pair survives with 1-(1-p⁴)⁴ — ≈0.95 at cosine 0.9 —
+    vs p¹⁶-ish ≈0.54 for the old single 16-bucket probe, while the
+    expected candidate fraction for unrelated rows stays ~bands/2^bits
+    and shrinks geometrically as band_bits grows
+    (tests/test_dedup_similarity.py asserts both the shrink and recall vs
+    exact). Exact cosine re-ranks candidates only: the band join shuffles
+    on (band_id, band_val) with the tiny query side broadcast, so
+    O(n·queries) never materializes."""
+    n_bands, band_bits = 4, 4
     e = Catalog(spark, sf_dir).embeddings
     sigs = hyperplane_signature(e.select("vec_id", "embedding"))
-    # 4-bit bucket (16 buckets) — coarse enough that each probe still sees
-    # ~n/16 of the corpus; tune bits per corpus size (more data → more bits).
-    bucketed = e.join(sigs.select("vec_id", "lsh_sig"), "vec_id").withColumn(
-        "bucket", F.col("lsh_sig").bitwiseAND(F.lit(15))
+    bands = banded_signature(sigs, n_bands=n_bands, band_bits=band_bits)
+    qbands = bands.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_val"
     )
-    q = bucketed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe"), "bucket"
+    cands = (
+        F.broadcast(qbands)
+        .join(bands.withColumnRenamed("vec_id", "neighbor_id"), ["band_id", "band_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    c = bucketed.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce"), F.col("bucket").alias("cbucket")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce"))
     dot = F.expr(_DOT.format(a="qe", b="ce"))
     qn = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
     cn = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
-        F.broadcast(q)
-        .join(c, (F.col("bucket") == F.col("cbucket")) & (F.col("query_id") != F.col("neighbor_id")))
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
@@ -234,14 +274,14 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
     qrows = queries.select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows])
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     bq = queries.sparkSession.sparkContext.broadcast((qids, qnorm))
 
     def score(batches):
         ids, qn = bq.value
         for pdf in batches:
             cmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
             sims = qn @ cn.T
             nb = sims.shape[1]
             out = pd.DataFrame(
@@ -309,20 +349,7 @@ def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs duplicate set."""
     e = Catalog(spark, sf_dir).embeddings
     sigs = hyperplane_signature(e.select("vec_id", "embedding"))
-    banded = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band_id"),
-                    F.shiftrightunsigned(F.col("lsh_sig"), i * 4)
-                    .bitwiseAND(F.lit(0xF))
-                    .alias("band_val"),
-                )
-                for i in range(4)
-            ])
-        ).alias("band"),
-    ).select("vec_id", "band.band_id", "band.band_val")
+    banded = banded_signature(sigs, n_bands=4, band_bits=4)
     v = e.select("vec_id", "label", _as_double("embedding").alias("e")).join(
         banded, "vec_id"
     )

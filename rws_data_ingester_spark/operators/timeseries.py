@@ -326,9 +326,9 @@ def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.event_type,
            strftime(c.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
            c.n AS n_events,
-           ROUND((c.n - s.mu) / s.sd, 2) AS zscore,
-           (CASE WHEN abs((c.n - s.mu) / s.sd) >= 2.0 THEN 1 ELSE 0 END)::BIGINT
-             AS is_anomaly
+           ROUND((c.n - s.mu) / nullif(s.sd, 0), 2) AS zscore,
+           (CASE WHEN abs((c.n - s.mu) / nullif(s.sd, 0)) >= 2.0
+                 THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
     FROM cells c JOIN stats s ON c.event_type = s.event_type
     """,
 )
@@ -349,7 +349,11 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = cells.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
     )
-    z = (F.col("n") - F.col("mu")) / F.col("sd")
+    # nullif guard: a type whose hourly counts are all identical has
+    # sd = 0, where Spark's Divide yields NULL but DuckDB (IEEE division)
+    # yields inf/nan — nullif on BOTH sides makes them agree on NULL
+    # zscore / is_anomaly = 0 for constant series.
+    z = (F.col("n") - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))
     return (
         cells.join(F.broadcast(stats), "event_type")
         .select(

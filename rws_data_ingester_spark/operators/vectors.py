@@ -97,7 +97,7 @@ def pq_train(
     # therefore the codebook — is deterministic at any corpus size
     rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(sample_n).collect()
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dsub = x.shape[1] // m
     return np.stack(
         [
@@ -122,7 +122,7 @@ def pq_encode(emb: DataFrame, codebook: np.ndarray) -> DataFrame:
         m, _, dsub = cb.shape
         for pdf in batches:
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            x /= np.linalg.norm(x, axis=1, keepdims=True)
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             codes = np.empty((len(x), m), dtype=np.int32)
             for j in range(m):
                 sub = x[:, j * dsub : (j + 1) * dsub]
@@ -162,7 +162,7 @@ def simsearch_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrows = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows])
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     m, kk, dsub = codebook.shape
     # (n_queries, m, k) ADC tables: squared L2 between each query subvector
     # and every centroid of that subspace

@@ -41,29 +41,82 @@ from rws_data_ingester_spark.sources import pyds  # noqa: F401
 from rws_data_ingester_spark.operators import vectors, ids, tokenizer, scale  # noqa: F401
 from rws_data_ingester_spark.operators import timeseries  # noqa: F401
 
-# Front-promote specific queries into the driver's check window regardless
-# of module order. Round 2: the two queries that ERRORED in round 1 on the
-# events.parquet TIMESTAMP(NANOS) bug (fixed in catalog.load_table) must
-# produce green rows to close the fix.
-_FRONT = ("join_asof_last_click", "set_intersect_all")
-# Back-demote queries added late in round 2 to modules that import early
-# (dedup/similarity), so they don't displace the curated round-2 check
-# window; they rotate in with the round-3 batch (COVERAGE.md ledger).
-_BACK = (
+# Front-promote the round-3 check window regardless of module order.
+# Round 3 rotates the driver's 50-slot correctness gate onto the queries
+# that have never had a driver row (CORRECTNESS_r01 ∪ r02): the
+# late-round-2 timeseries/mixing/quality batch, the UDF surface, the
+# oracle-paired stream_* tier, the remaining scalar families, and the two
+# real-codec multimodal decode queries (rows-only by design). Exactly 50
+# names; the ledger lives in COVERAGE.md and the composition is pinned by
+# tests/test_oracle_parity.py::test_driver_check_window_is_the_curated_round3_set.
+ROUND3_WINDOW = (
+    # temporal / timeseries batch tier
+    "timeseries_gapfill",
+    "cohort_retention",
+    "scd2_intervals",
+    "engagement_rolling_active",
+    "trend_wow_revenue",
+    "timeseries_anomaly_zscore",
+    "rollup_time_hierarchy",
+    # aggregate tier
+    "agg_histogram",
+    "agg_collect_set",
+    "data_quality_audit",
+    # dedup / embedding tier
     "dedup_paragraphs",
     "embedding_quantize_int8",
+    "embedding_centroids",
+    # ids / text / chunking tier
+    "ids_assign_contiguous",
     "text_length_outliers",
-    "rollup_time_hierarchy",
+    "text_chunk_overlap",
     "text_token_count_bpe",
+    # mixing / sampling / quality tier
+    "pipeline_train_val_test",
+    "pipeline_mix_temperature",
+    "sample_deterministic",
+    "sample_stratified_capped",
+    "pipeline_data_mix",
+    "text_pii_redact",
+    "text_contamination",
+    "text_vocab_oov",
+    "text_repetition",
+    "pipeline_quality_filter",
+    # join tier
+    "join_salted_skew",
+    "join_lateral_topn",
+    "join_null_safe",
+    # scale / SQL passthrough
+    "pipeline_cached_reuse",
+    "sql_passthrough_segment_revenue",
+    # UDF / UDAF / UDTF surface
+    "udf_scalar_vowels",
+    "udaf_geomean_price",
+    "grouped_map_zscore",
+    "udtf_bigrams",
+    "cogroup_click_attribution",
+    "udf_sql_registered",
+    # oracle-paired streaming tier
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_within_watermark",
+    "stream_static_enrich_purchases",
+    "stream_parquet_sink_recovery",
+    "stream_scheduled_refresh",
+    # remaining scalar families
+    "scalar_bitwise",
+    "scalar_generators",
+    "scalar_encode_map_funcs",
+    # real-codec multimodal decode (rows-only by design)
     "multimodal_image_decode",
     "multimodal_audio_features",
 )
-_reordered = {n: REGISTRY[n] for n in _FRONT if n in REGISTRY}
+assert len(ROUND3_WINDOW) == 50, len(ROUND3_WINDOW)
+_missing = [n for n in ROUND3_WINDOW if n not in REGISTRY]
+assert not _missing, f"round-3 window names not registered: {_missing}"
+_reordered = {n: REGISTRY[n] for n in ROUND3_WINDOW}
 for _n, _q in list(REGISTRY.items()):
-    if _n not in _BACK:
-        _reordered.setdefault(_n, _q)
-for _n in _BACK:
-    if _n in REGISTRY:
-        _reordered[_n] = REGISTRY[_n]
+    _reordered.setdefault(_n, _q)
 REGISTRY.clear()
 REGISTRY.update(_reordered)

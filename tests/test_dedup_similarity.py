@@ -55,9 +55,12 @@ def test_simhash_hamming_orders_similarity(spark):
 
 
 def test_lsh_topk_recall_vs_exact(spark):
-    """Bucketed ANN must recover a reasonable fraction of the true top-5
-    (random 64-d embeddings are a worst case for LSH; the contract here is
-    'plumbing correct + recall not degenerate', not production recall)."""
+    """Banded ANN must recover a solid fraction of the true top-5
+    (random 64-d embeddings are a worst case for LSH — true neighbors sit
+    at cosine ~0.4, far from the ≥0.9 regime the bands are tuned for).
+    The 4×4-bit OR-construction measures 0.40 here (deterministic: seeded
+    planes, fixed fixtures) vs ~0.05 for the old single 16-bucket probe;
+    assert ≥0.3 to leave margin for fixture regeneration."""
     exact = REGISTRY["simsearch_topk_exact"].fn(spark, SF_DIR)
     approx = REGISTRY["simsearch_topk_lsh"].fn(spark, SF_DIR)
     exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
@@ -66,7 +69,39 @@ def test_lsh_topk_recall_vs_exact(spark):
     # every approx neighbor must at least be a real corpus member ranked by
     # true cosine (cosine values are exact within the bucket)
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
-    assert recall >= 0.05, f"degenerate recall {recall}"
+    assert recall >= 0.3, f"banded probe recall regressed: {recall}"
+
+
+def test_lsh_candidate_fraction_shrinks_with_band_bits(spark):
+    """The scale knob the probe's docstring promises: at fixed signature
+    width, widening each band (more bits, fewer bands) must cut the
+    candidate fraction geometrically — that's what makes the probe
+    tunable per corpus size instead of a fixed 16-bucket table."""
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.operators.similarity import (
+        banded_signature,
+        hyperplane_signature,
+    )
+
+    e = Catalog(spark, SF_DIR).embeddings
+    n = e.count()
+    sigs = hyperplane_signature(e.select("vec_id", "embedding"))
+    fracs = []
+    for band_bits, n_bands in ((2, 8), (4, 4), (8, 2)):
+        b = banded_signature(sigs, n_bands=n_bands, band_bits=band_bits)
+        qb = b.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "band_id", "band_val"
+        )
+        cands = (
+            qb.join(b.withColumnRenamed("vec_id", "nid"), ["band_id", "band_val"])
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+            .distinct()
+            .count()
+        )
+        fracs.append(cands / (10 * n))
+    assert fracs[0] > fracs[1] > fracs[2], f"no shrink: {fracs}"
+    assert fracs[2] < 0.05, f"widest bands still scan {fracs[2]:.1%} of corpus"
 
 
 def test_cosine_topk_self_similarity_excluded(spark):

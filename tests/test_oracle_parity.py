@@ -42,27 +42,39 @@ def test_entry_contract(spark):
     assert len(qs) == len(REGISTRY)
 
 
-def test_driver_check_window_is_the_curated_round2_set():
+def test_driver_check_window_is_the_curated_round3_set():
     """The driver's correctness gate checks the FIRST 50 registered
-    queries only (CORRECTNESS_r01.json evidence). The round-2 window was
-    curated to cover the modules with no round-1 driver evidence; pin its
-    exact composition so a later registration can't silently displace a
-    query from the window (which happened once: late dedup/similarity
-    additions landed at positions 8/16 until demoted)."""
+    queries only (CORRECTNESS_r01/r02 evidence). The round-3 window is
+    curated to cover the ~70 oracle-paired queries that never had a
+    driver row (COVERAGE.md ledger); pin its exact composition so a later
+    registration can't silently displace a query from the window (which
+    happened once in round 2: late dedup/similarity additions landed at
+    positions 8/16 until demoted)."""
     import __spark_entry__ as e
+    from rws_data_ingester_spark.plans import ROUND3_WINDOW
 
     window = list(e.queries())[:50]
-    assert window[:2] == ["join_asof_last_click", "set_intersect_all"]
-    assert window[-2:] == ["scalar_explode_funcs", "scalar_json_funcs"]
-    expected_families = ("dedup_", "simsearch_", "text_", "multimodal_",
-                         "window_", "scalar_", "pipeline_", "session_")
-    strays = [n for n in window[2:]
-              if not n.startswith(expected_families)
-              and n not in {"data_profile_documents", "tumbling_window_hourly",
-                            "sliding_window_counts", "dedup_first_event",
-                            "watermark_cutoff", "stream_static_join",
-                            "funnel_signup_click_purchase"}]
-    assert not strays, f"unexpected queries inside the check window: {strays}"
+    assert window == list(ROUND3_WINDOW), (
+        "driver check window drifted from the curated round-3 set; "
+        f"diff={set(window) ^ set(ROUND3_WINDOW)}"
+    )
+
+
+def test_round3_window_targets_only_driver_dark_queries():
+    """Every slot in the round-3 window is spent on a query with no green
+    driver row in CORRECTNESS_r01/r02 — the window exists to close the
+    verification gap, not to re-prove what is already proven."""
+    import json
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import ROUND3_WINDOW
+
+    repo = Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        seen |= set(json.loads((repo / rnd).read_text()))
+    already = [n for n in ROUND3_WINDOW if n in seen]
+    assert not already, f"window slots wasted on already-checked queries: {already}"
 
 
 def test_cogroup_attribution_survives_bare_count(spark):

@@ -392,6 +392,23 @@ def test_cached_reuse_reads_in_memory_scan(spark):
     assert plan.count("InMemoryTableScan") >= 3
 
 
+def test_cached_reuse_unpersists_previous_invocation(spark):
+    """Repeated invocations (driver sweep, tests) must not accumulate
+    InMemoryRelations: each call unpersists the previous call's cache, so
+    at most one is ever live (ADVICE round 2)."""
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.operators import scale
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    REGISTRY["pipeline_cached_reuse"].fn(spark, SF_DIR).collect()
+    first = scale._LAST_CACHED_REUSE
+    assert first is not None and first.is_cached
+    REGISTRY["pipeline_cached_reuse"].fn(spark, SF_DIR).collect()
+    assert scale._LAST_CACHED_REUSE is not first
+    assert not first.is_cached, "previous invocation's cache still live"
+    assert scale._LAST_CACHED_REUSE.is_cached
+
+
 def test_salted_join_rejects_outer_modes(spark):
     """right/full outer would replicate unmatched small-side rows once
     per salt shard — salted_join must refuse rather than silently return

@@ -187,6 +187,43 @@ def test_anomaly_zscore_flags_match_threshold(spark):
     assert 0.0 < frac < 0.3, frac
 
 
+def test_anomaly_zscore_constant_series_cross_engine(spark, tmp_path):
+    """A type whose hourly counts are all identical has stddev 0; without
+    the nullif guard Spark's Divide yields NULL while DuckDB's IEEE
+    division yields inf/nan, so the engines diverge exactly there. Pin:
+    both return NULL zscore and is_anomaly=0 for every constant-series
+    cell (latent-data regression, ADVICE round 2)."""
+    import duckdb
+
+    rows = [
+        # 'steady': exactly 2 events in each of 3 hours → sd = 0
+        *[("steady", f"2024-01-01 0{h}:{m}:00") for h in (0, 1, 2) for m in (10, 40)],
+        # 'vary': distinct hourly counts so the query also has normal cells
+        ("vary", "2024-01-01 00:05:00"),
+        *[("vary", f"2024-01-01 01:{m}:00") for m in (5, 15, 25)],
+    ]
+    df = spark.createDataFrame(
+        [(t, ts) for t, ts in rows], "event_type string, ts_s string"
+    ).select("event_type", F.col("ts_s").cast("timestamp").alias("ts"),
+             F.lit(1).alias("user_id"))
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = REGISTRY["timeseries_anomaly_zscore"].fn(spark, str(tmp_path)).collect()
+    steady = [r for r in out if r["event_type"] == "steady"]
+    assert len(steady) == 3
+    assert all(r["zscore"] is None and r["is_anomaly"] == 0 for r in steady)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    drows = con.execute(REGISTRY["timeseries_anomaly_zscore"].oracle).fetchall()
+    dsteady = [r for r in drows if r[0] == "steady"]
+    assert len(dsteady) == 3
+    assert all(r[3] is None and r[4] == 0 for r in dsteady)
+
+
 def test_wau_hll_tracks_exact_within_5pct(spark):
     """The sketch-rollup WAU must stay within HLL error of the exact
     contribution-day form on every observation day."""

@@ -50,6 +50,26 @@ def test_pq_codes_shape(spark):
     assert codes.count() == e.count()
 
 
+def test_pq_all_zero_embedding_yields_valid_codes(spark):
+    """An all-zero embedding has L2 norm 0; without the clamp the
+    normalization produced NaN subvectors → NaN ADC distances → garbage
+    argmin codes (ADVICE round 2). The clamp maps it to the zero vector,
+    which encodes to ordinary nearest-centroid codes."""
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.operators.vectors import pq_encode, pq_train
+
+    e = Catalog(spark, SF_DIR).embeddings
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    corpus = e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(zero)
+    cb = pq_train(corpus)
+    assert not __import__("numpy").isnan(cb).any()
+    row = pq_encode(corpus, cb).filter(F.col("vec_id") == 999_999).collect()
+    assert len(row) == 1
+    assert all(0 <= c < 256 for c in row[0]["codes"]), row[0]["codes"]
+
+
 # --------------------------------------------------------------------------
 # Contiguous id assignment
 # --------------------------------------------------------------------------

@@ -101,12 +101,14 @@ _ZSCORE_SCHEMA = T.StructType(
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     bal = pdf["c_acctbal"].to_numpy()
-    if len(pdf) < 2:
-        # STDDEV_SAMP of one row is NULL in SQL; numpy ddof=1 would give
-        # NaN, which hash-compares differently from NULL.
+    sd = bal.std(ddof=1) if len(pdf) >= 2 else 0.0
+    if sd == 0.0 or np.isnan(sd):
+        # STDDEV_SAMP of one row is NULL in SQL, and a constant group's
+        # sd=0 divide is NaN in numpy but inf/NaN in IEEE SQL engines —
+        # emit NULL for both degenerate shapes (oracle uses nullif).
         z_out = pd.array([pd.NA] * len(bal), dtype="Float64")
     else:
-        z_out = np.round((bal - bal.mean()) / bal.std(ddof=1), 6)
+        z_out = np.round((bal - bal.mean()) / sd, 6)
     return pd.DataFrame(
         {
             "c_custkey": pdf["c_custkey"],
@@ -122,7 +124,8 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     SELECT c_custkey,
            c_nationkey,
            ROUND((c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey))
-                 / STDDEV_SAMP(c_acctbal) OVER (PARTITION BY c_nationkey), 6) AS bal_z
+                 / nullif(STDDEV_SAMP(c_acctbal)
+                          OVER (PARTITION BY c_nationkey), 0), 6) AS bal_z
     FROM customer
     """,
 )

@@ -372,7 +372,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs AS (
       SELECT a.label AS label,
              list_dot_product(a.e, b.e)
-               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+               / nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0)
                AS sim
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
     )
@@ -396,7 +396,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm_b = F.sqrt(F.expr("aggregate(zip_with(b.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(F.col("a.label").alias("label"), (dot / (norm_a * norm_b)).alias("sim"))
+    ).select(F.col("a.label").alias("label"), (dot / F.nullif(norm_a * norm_b, F.lit(0.0))).alias("sim"))
     return pairs.groupBy("label").agg(
         F.count(F.when(F.col("sim") >= 0.9, 1)).alias("n_neardups"),
         (F.round(F.avg("sim"), 4) + 0.0).alias("avg_sim"),  # +0.0: -0.0 normalization

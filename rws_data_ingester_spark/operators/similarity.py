@@ -43,7 +43,7 @@ def cosine_topk(
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", F.round(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
@@ -59,7 +59,7 @@ def cosine_topk(
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(q.e, c.e)
-               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+               / nullif(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)), 0), 6)
                AS cosine_sim
       FROM v q JOIN v c ON q.vec_id != c.vec_id
       WHERE q.vec_id < 10
@@ -174,7 +174,7 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cands.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", F.round(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 5)
@@ -250,7 +250,7 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("centroid_id") == F.col("c_centroid_id"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "neighbor_id", F.round(dot / (qn * cn), 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", F.round(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
@@ -274,21 +274,29 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
     qrows = queries.select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows])
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    qnorm = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    qlen = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm = qmat / np.maximum(qlen, 1e-12)
+    # zero-norm query → cosine undefined → NULL, matching the Catalyst
+    # path's nullif guard (not a clamped 0)
+    qnorm[qlen.ravel() == 0.0] = np.nan
     bq = queries.sparkSession.sparkContext.broadcast((qids, qnorm))
 
     def score(batches):
         ids, qn = bq.value
         for pdf in batches:
             cmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            cn = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+            clen = np.linalg.norm(cmat, axis=1, keepdims=True)
+            cn = cmat / np.maximum(clen, 1e-12)
+            cn[clen.ravel() == 0.0] = np.nan
             sims = qn @ cn.T
             nb = sims.shape[1]
+            flat = sims.ravel()
             out = pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, nb),
                     "neighbor_id": np.tile(pdf["vec_id"].to_numpy(), len(ids)),
-                    "cosine_sim": sims.ravel(),
+                    # Float64 extension dtype maps NaN → NA → SQL NULL
+                    "cosine_sim": pd.array(flat, dtype="Float64"),
                 }
             )
             yield out[out.query_id != out.neighbor_id]
@@ -329,7 +337,7 @@ def embedding_dup_ids(
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .filter((dot / (na * nb)) >= threshold)
+        .filter((dot / F.nullif(na * nb, F.lit(0.0))) >= threshold)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
@@ -370,7 +378,7 @@ def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT b.vec_id
       FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.e, b.e)
-            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+            / nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0)
             >= 0.9
     )
     SELECT v.label,

@@ -175,3 +175,48 @@ def test_resize_preserves_feature_mass(spark):
     for r in after_df.collect():
         assert r["n"] == 4
         assert abs(r["m"] - before[r["doc_id"]]) < 1e-6
+
+
+def test_cosine_zero_vector_is_null_cross_engine(spark, tmp_path):
+    """An all-zero embedding has no defined cosine: Spark's guarded
+    divide and DuckDB's nullif must both yield NULL (not inf/NaN/0), on
+    the Catalyst path and the numpy path alike — and the NULL must sort
+    last so the zero vector never enters anyone's top-k."""
+    import duckdb
+    import numpy as np
+
+    from rws_data_ingester_spark.operators.similarity import cosine_topk, cosine_topk_np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(8)], "a") for i in range(6)]
+    rows.append((6, [0.0] * 8, "a"))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    emb = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+
+    for fn in (cosine_topk, cosine_topk_np):
+        out = fn(emb.filter(F.col("vec_id").isin(0, 6)), emb, k=3).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        # zero vector never appears as a neighbor of a real query
+        assert all(r["neighbor_id"] != 6 for r in by_q[0]), (fn.__name__, by_q[0])
+        # the zero query's sims are all NULL (cosine undefined)
+        assert all(r["cosine_sim"] is None for r in by_q[6]), (fn.__name__, by_q[6])
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    drows = con.execute(
+        """
+        SELECT list_dot_product(a.embedding, b.embedding)
+               / nullif(sqrt(list_dot_product(a.embedding, a.embedding))
+                        * sqrt(list_dot_product(b.embedding, b.embedding)), 0) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id = 6 AND b.vec_id = 0
+        """
+    ).fetchall()
+    assert drows[0][0] is None

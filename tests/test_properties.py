@@ -132,3 +132,44 @@ def test_zorder_key_is_injective_over_the_full_bucket_grid(spark):
     ).collect()[0]
     assert stats["n"] == 65536
     assert stats["lo"] == 0 and stats["hi"] == 65535
+
+
+def test_grouped_map_zscore_constant_group_cross_engine(spark, tmp_path):
+    """A nation whose customers all hold the same balance has
+    STDDEV_SAMP = 0: numpy's divide gives NaN, DuckDB's IEEE divide
+    inf/NaN — both sides must instead agree on NULL (nullif guard;
+    latent-data regression, same class as the zscore ADVICE item)."""
+    import duckdb
+
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    rows = [
+        # nation 1: constant balances (sd = 0)
+        (1, 1, 100.0), (2, 1, 100.0), (3, 1, 100.0),
+        # nation 2: singleton group (sd undefined)
+        (4, 2, 55.5),
+        # nation 3: ordinary varying balances
+        (5, 3, 10.0), (6, 3, 20.0), (7, 3, 60.0),
+    ]
+    spark.createDataFrame(
+        rows, "c_custkey long, c_nationkey long, c_acctbal double"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+
+    out = {r["c_custkey"]: r["bal_z"]
+           for r in REGISTRY["grouped_map_zscore"].fn(spark, str(tmp_path)).collect()}
+    assert all(out[k] is None for k in (1, 2, 3, 4)), out
+    assert out[6] is not None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/customer.parquet/*.parquet')"
+    )
+    drows = con.execute(REGISTRY["grouped_map_zscore"].oracle).fetchall()
+    dz = {r[0]: r[2] for r in drows}
+    assert all(dz[k] is None for k in (1, 2, 3, 4)), dz
+    for k in out:
+        if out[k] is None:
+            assert dz[k] is None, (k, dz[k])
+        else:
+            assert abs(out[k] - dz[k]) < 1e-6, (k, out[k], dz[k])

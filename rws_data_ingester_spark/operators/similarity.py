@@ -85,7 +85,13 @@ def hyperplane_signature(df: DataFrame, dim: int = 64, n_planes: int = 16, seed:
     """Sign-bit signature under fixed random hyperplanes. The hyperplane
     matrix is generated once on the driver (seeded → deterministic) and
     shipped as a literal array; signature computation is pure Catalyst
-    expressions, no Python per row."""
+    expressions, no Python per row.
+
+    n_planes is capped at 62: bit i is encoded as +2^i into a signed
+    64-bit ``lsh_sig``, so 2^63 would overflow the long. Wider signatures
+    belong in multiple sig columns (one per 62-bit word), not one long."""
+    if not 1 <= n_planes <= 62:
+        raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     sig_bits = []

@@ -9,11 +9,18 @@ metadata struct. Two codec tiers:
   RMS/zero-crossing features) — exercised end-to-end by
   ``multimodal_image_decode`` / ``multimodal_audio_features`` and pinned
   to closed forms in tests.
-- STUBS for compressed codecs (JPEG/MP3 — libs absent in this runtime):
-  ``decode_image``/``decode_audio`` raise NotImplementedError;
-  ``decode_stub_features`` (byte histogram) keeps the surrounding
-  plumbing — schema, Arrow batch shape, mapInPandas signature,
-  partitioning — real and tested. A real codec drops into the same slot.
+- REAL compressed codecs (round 3, pure numpy — ``operators/codecs.py``):
+  baseline JPEG (ITU-T T.81: DQT/SOF0/DHT/DRI parse, Huffman + byte
+  unstuffing + RSTn, dequant, IDCT, 4:2:0 upsample, YCbCr→RGB) and IMA
+  ADPCM audio (4 bits/sample step-adaptive DPCM). ``decode_image``
+  dispatches JPEG/PPM by magic bytes; ``decode_audio`` dispatches
+  RIFF-PCM/ADPCM. Exercised end-to-end by ``multimodal_jpeg_decode`` /
+  ``multimodal_adpcm_roundtrip``; the decoder is pinned against a
+  hand-assembled byte-level JPEG in tests (so encoder/decoder bugs
+  cannot cancel).
+- REMAINING stub: MP3 (a polyphase filterbank + psychoacoustic model is
+  out of scope) — ``decode_audio`` raises NotImplementedError for it;
+  ``decode_stub_features`` (byte histogram) keeps that plumbing tested.
 
 The fixture corpus has no binary table, so payloads are manufactured from
 ``documents.text`` (utf-8 bytes) — the plumbing is identical for real
@@ -36,12 +43,33 @@ N_HISTOGRAM_BUCKETS = 8
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real image decode — requires PIL/cv2, absent in this runtime."""
-    raise NotImplementedError("image codecs not available in this runtime; use decode_stub_features")
+    """REAL image decode, dispatched on magic bytes: baseline JPEG
+    (pure-numpy T.81 decoder, ``operators/codecs.py``) or P6 PPM.
+    Returns (h, w, 3) or (h, w) uint8."""
+    if payload[:2] == b"\xff\xd8":
+        from rws_data_ingester_spark.operators.codecs import decode_jpeg
+
+        return decode_jpeg(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise NotImplementedError("unsupported image format (JPEG and PPM are implemented)")
 
 
-def decode_audio(payload: bytes) -> "np.ndarray":
-    raise NotImplementedError("audio codecs not available in this runtime; use decode_stub_features")
+def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """REAL audio decode, dispatched on magic bytes: RIFF/WAVE PCM16 or
+    IMA ADPCM (``b'IMA1'`` + rate tag, ``operators/codecs.py``). Returns
+    (sample_rate, int16 samples). MP3 stays NotImplementedError — see the
+    module docstring."""
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if payload[:4] == b"IMA1":
+        import struct
+
+        from rws_data_ingester_spark.operators.codecs import adpcm_decode
+
+        rate = struct.unpack_from("<I", payload, 4)[0]
+        return rate, adpcm_decode(payload[8:])
+    raise NotImplementedError("unsupported audio format (WAV PCM16 and IMA ADPCM are implemented)")
 
 
 def decode_stub_features(payload: bytes) -> list[float]:
@@ -340,6 +368,109 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "sample_rate", "n_samples", "rms", "zero_crossings"],
+            )
+
+    return d.mapInPandas(run, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# Round 3: compressed codecs for real — baseline JPEG + IMA ADPCM
+# (pure numpy, operators/codecs.py). These close the JPEG/MP3 stub gap on
+# the image side and replace the MP3 slot with a real compressed audio
+# codec; only MP3 itself remains a declared stub.
+# --------------------------------------------------------------------------
+JPEG_W, JPEG_H = 32, 24
+
+
+def make_rgb_gradient(doc_id: int, w: int = JPEG_W, h: int = JPEG_H) -> np.ndarray:
+    """Deterministic smooth RGB test image, distinct per doc_id."""
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return (
+        (96.0 + 80.0 * np.sin(x / 7.0 + c) + 60.0 * np.cos(y / 5.0 + doc_id % 17))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+@query("multimodal_jpeg_decode", oracle=None)  # synthesized payload → rows-only
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image pipeline: synthesize an RGB image per doc,
+    encode it as baseline JPEG (4:2:0, quality 85, restart markers), then
+    decode through `decode_image`'s magic-byte dispatch and emit decoded
+    dims, compression ratio, and PSNR vs the pre-encode pixels — the
+    decode/validate stage of an image-curation pipeline. Tests pin the
+    decoder against a hand-assembled byte-level JPEG and a closed-form
+    constant image, so this query's numbers trace to the T.81 spec, not
+    to the encoder. At 100 TB the payload column arrives from
+    binaryFile/parquet; everything after `decode_image` is unchanged."""
+    from rws_data_ingester_spark.operators.codecs import encode_jpeg
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id").filter(F.col("doc_id") < 100)
+    schema = (
+        "doc_id long, width long, height long, jpeg_bytes long, raw_bytes long,"
+        " psnr_db double, mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                img = make_rgb_gradient(int(doc_id))
+                payload = encode_jpeg(img, quality=85, subsample="4:2:0", restart_interval=2)
+                dec = decode_image(payload)
+                mse = float(((img.astype(np.float64) - dec.astype(np.float64)) ** 2).mean())
+                psnr = 99.0 if mse == 0 else float(10 * np.log10(255.0**2 / mse))
+                means = dec.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (int(doc_id), dec.shape[1], dec.shape[0], len(payload), img.size,
+                     round(psnr, 3), round(means[0], 6), round(means[1], 6),
+                     round(means[2], 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "jpeg_bytes", "raw_bytes",
+                         "psnr_db", "mean_r", "mean_g", "mean_b"],
+            )
+
+    return d.mapInPandas(run, schema=schema)
+
+
+@query("multimodal_adpcm_roundtrip", oracle=None)  # synthesized payload → rows-only
+def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio pipeline: PCM16 sine per doc → IMA ADPCM
+    encode (~4:1) → `decode_audio` magic-byte dispatch → SNR + level
+    features. Tests pin the codec's SNR floor and ramp tracking."""
+    import struct as _struct
+
+    from rws_data_ingester_spark.operators.codecs import adpcm_encode
+
+    d = Catalog(spark, sf_dir).documents.select("doc_id").filter(F.col("doc_id") < 100)
+    schema = (
+        "doc_id long, sample_rate long, n_samples long, adpcm_bytes long,"
+        " pcm_bytes long, snr_db double, rms double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                rate, s = decode_wav(make_wav(int(doc_id)))
+                payload = b"IMA1" + _struct.pack("<I", rate) + adpcm_encode(s)
+                rate2, dec = decode_audio(payload)
+                a = s.astype(np.float64)
+                err = a - dec.astype(np.float64)
+                snr = float(10 * np.log10((a * a).sum() / max((err * err).sum(), 1e-12)))
+                rms = float(np.sqrt(((dec.astype(np.float64) / 32767.0) ** 2).mean()))
+                rows.append(
+                    (int(doc_id), rate2, len(dec), len(payload), 2 * len(s),
+                     round(snr, 3), round(rms, 6))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "adpcm_bytes",
+                         "pcm_bytes", "snr_db", "rms"],
             )
 
     return d.mapInPandas(run, schema=schema)

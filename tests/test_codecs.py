@@ -1,0 +1,257 @@
+"""Tests for the pure-numpy compressed codecs (operators/codecs.py).
+
+The critical test is `test_decoder_pinned_to_hand_assembled_jpeg`: it
+decodes a JPEG assembled BYTE BY BYTE in this file — custom minimal
+Huffman tables, all-ones quant table, hand-computed bitstream — against a
+closed-form expected image derived from the T.81 IDCT definition. That
+pins the decoder to the spec independently of both the encoder and the
+Annex K table transcriptions, so a mirrored encoder/decoder bug cannot
+cancel out.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from rws_data_ingester_spark.operators import multimodal
+from rws_data_ingester_spark.operators.codecs import (
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    BitReader,
+    BitWriter,
+    DC_LUMA_BITS,
+    DC_LUMA_VALS,
+    QTABLE_LUMA,
+    UNZIGZAG,
+    ZIGZAG,
+    adpcm_decode,
+    adpcm_encode,
+    build_huffman_codes,
+    decode_jpeg,
+    encode_jpeg,
+    quality_scale,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else float(10 * np.log10(255.0**2 / mse))
+
+
+def gradient_rgb(h: int, w: int) -> np.ndarray:
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return (
+        (100.0 + 70.0 * np.sin(x / 6.0 + c) + 50.0 * np.cos(y / 4.0))
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+# --------------------------------------------------------------------------
+# Structural invariants
+# --------------------------------------------------------------------------
+
+
+def test_zigzag_is_a_permutation_and_unzigzag_inverts_it():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    v = np.arange(64)
+    assert np.array_equal(v[ZIGZAG][UNZIGZAG], v)
+
+
+def test_quality_scale_identity_at_50_and_monotone():
+    assert np.array_equal(quality_scale(QTABLE_LUMA, 50), QTABLE_LUMA)
+    q90, q10 = quality_scale(QTABLE_LUMA, 90), quality_scale(QTABLE_LUMA, 10)
+    assert (q90 <= QTABLE_LUMA).all() and (q10 >= QTABLE_LUMA).all()
+    assert q90.min() >= 1 and q10.max() <= 255
+
+
+def test_annex_k_huffman_tables_are_prefix_free():
+    for bits, vals in (
+        (DC_LUMA_BITS, DC_LUMA_VALS),
+        (AC_LUMA_BITS, AC_LUMA_VALS),
+    ):
+        codes = build_huffman_codes(bits, vals)
+        assert len(codes) == len(vals)
+        as_strings = [format(c, f"0{ln}b") for c, ln in codes.values()]
+        for i, a in enumerate(as_strings):
+            for j, b in enumerate(as_strings):
+                if i != j:
+                    assert not b.startswith(a), f"{a} is a prefix of {b}"
+
+
+def test_bit_writer_stuffs_ff_and_reader_unstuffs_it():
+    w = BitWriter()
+    w.write(0xFF, 8)
+    w.write(0xA5, 8)
+    data = w.flush()
+    assert data == b"\xff\x00\xa5"  # stuffed zero byte after 0xFF
+    r = BitReader(data)
+    assert r.read_bits(8) == 0xFF and r.read_bits(8) == 0xA5
+
+
+# --------------------------------------------------------------------------
+# Decoder pinned to a hand-assembled stream (independent of the encoder)
+# --------------------------------------------------------------------------
+
+
+def test_decoder_pinned_to_hand_assembled_jpeg():
+    """8x8 grayscale, all-ones quant table, minimal custom Huffman tables
+    (DC: single symbol 5 = code '0'; AC: single symbol 0x00/EOB = '0').
+    Bitstream by hand: DC code '0', magnitude 24 = '11000', EOB '0'
+    → 0b0110_0001 = 0x61. A DC-only block with coefficient 24 and Q=1
+    decodes (orthonormal IDCT) to 24/8 + 128 = 131 everywhere."""
+    dqt = b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes([1] * 64)
+    sof = b"\xff\xc0" + struct.pack(">H", 2 + 9) + struct.pack(">BHHB", 8, 8, 8, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    dht_dc = b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x00" + bytes(
+        [1] + [0] * 15
+    ) + bytes([5])
+    dht_ac = b"\xff\xc4" + struct.pack(">H", 2 + 1 + 16 + 1) + b"\x10" + bytes(
+        [1] + [0] * 15
+    ) + bytes([0x00])
+    sos = b"\xff\xda" + struct.pack(">H", 2 + 6) + bytes([1, 1, 0x00, 0, 63, 0])
+    payload = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + bytes([0x61]) + b"\xff\xd9"
+    img = decode_jpeg(payload)
+    assert img.shape == (8, 8)
+    assert np.array_equal(img, np.full((8, 8), 131, np.uint8))
+
+
+def test_decoder_rejects_progressive_sof():
+    bad = b"\xff\xd8\xff\xc2" + struct.pack(">H", 2 + 9) + struct.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bad)
+
+
+# --------------------------------------------------------------------------
+# Encode→decode round trips
+# --------------------------------------------------------------------------
+
+
+def test_constant_image_roundtrips_exactly():
+    for val in (0, 77, 130, 255):
+        img = np.full((16, 16), val, np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=90)), img)
+
+
+def test_color_roundtrip_psnr_and_dims_both_subsamplings():
+    img = gradient_rgb(23, 37)  # deliberately not a multiple of 8 or 16
+    for sub, floor in (("4:4:4", 35.0), ("4:2:0", 33.0)):
+        dec = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert dec.shape == img.shape
+        assert psnr(img, dec) > floor, (sub, psnr(img, dec))
+
+
+def test_grayscale_roundtrip():
+    g = ((np.arange(24)[:, None] * 3 + np.arange(40)[None, :]) % 200).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == g.shape and psnr(g, dec) > 35.0
+
+
+def test_restart_markers_decode_bit_identically():
+    img = gradient_rgb(50, 70)
+    base = decode_jpeg(encode_jpeg(img, quality=85, subsample="4:2:0"))
+    for ri in (1, 3):
+        withrst = decode_jpeg(
+            encode_jpeg(img, quality=85, subsample="4:2:0", restart_interval=ri)
+        )
+        assert np.array_equal(withrst, base)
+
+
+def test_jpeg_actually_compresses_smooth_content():
+    img = gradient_rgb(64, 64)
+    payload = encode_jpeg(img, quality=85, subsample="4:2:0")
+    assert len(payload) < img.size // 4  # >4:1 on smooth gradients
+
+
+def test_quality_trades_size_for_fidelity():
+    img = gradient_rgb(48, 48)
+    lo, hi = encode_jpeg(img, quality=30), encode_jpeg(img, quality=95)
+    assert len(lo) < len(hi)
+    assert psnr(img, decode_jpeg(lo)) < psnr(img, decode_jpeg(hi))
+
+
+# --------------------------------------------------------------------------
+# ADPCM
+# --------------------------------------------------------------------------
+
+
+def test_adpcm_sine_snr_ratio_and_length():
+    t = np.arange(2048) / 8000.0
+    s = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    payload = adpcm_encode(s)
+    dec = adpcm_decode(payload)
+    assert len(dec) == len(s)
+    err = s.astype(np.float64) - dec.astype(np.float64)
+    snr = 10 * np.log10((s.astype(np.float64) ** 2).sum() / (err**2).sum())
+    assert snr > 18.0, snr
+    assert len(s) * 2 / len(payload) > 3.5  # ~4:1 vs PCM16
+
+
+def test_adpcm_tracks_a_slow_ramp_closely():
+    s = np.linspace(-1000, 1000, 500).astype(np.int16)
+    dec = adpcm_decode(adpcm_encode(s))
+    # after the adaptive step settles, per-sample error stays within a few steps
+    assert np.abs(s[10:].astype(int) - dec[10:].astype(int)).max() <= 64
+
+
+def test_adpcm_odd_length_and_edge_cases():
+    s = (np.sin(np.arange(1023) / 5.0) * 3000).astype(np.int16)
+    assert len(adpcm_decode(adpcm_encode(s))) == 1023
+    one = np.array([123], dtype=np.int16)
+    assert adpcm_decode(adpcm_encode(one)).tolist() == [123]  # seed is verbatim
+    assert len(adpcm_decode(adpcm_encode(np.array([], dtype=np.int16)))) == 1
+
+
+# --------------------------------------------------------------------------
+# Dispatch + the registered Spark queries
+# --------------------------------------------------------------------------
+
+
+def test_decode_image_dispatch_jpeg_ppm_and_unknown():
+    img = gradient_rgb(16, 16)
+    assert multimodal.decode_image(encode_jpeg(img, quality=90)).shape == img.shape
+    ppm = multimodal.make_ppm(3)
+    assert multimodal.decode_image(ppm).shape == (multimodal.IMG_H, multimodal.IMG_W, 3)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"GIF89a....")
+
+
+def test_decode_audio_dispatch_wav_adpcm_and_unknown():
+    rate, s = multimodal.decode_wav(multimodal.make_wav(5))
+    payload = b"IMA1" + struct.pack("<I", rate) + adpcm_encode(s)
+    rate2, dec = multimodal.decode_audio(payload)
+    assert rate2 == rate and len(dec) == len(s)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(b"ID3\x04mp3 frames here")
+
+
+def test_jpeg_decode_query_pins(spark):
+    rows = {r["doc_id"]: r for r in multimodal.multimodal_jpeg_decode(spark, SF_DIR).collect()}
+    assert len(rows) == 100
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (multimodal.JPEG_W, multimodal.JPEG_H)
+        assert r["psnr_db"] > 30.0  # smooth synthetic content at q85
+        assert r["jpeg_bytes"] < r["raw_bytes"]  # it really compressed
+        assert 0.0 <= r["mean_r"] <= 255.0
+
+
+def test_adpcm_query_pins(spark):
+    rows = multimodal.multimodal_adpcm_roundtrip(spark, SF_DIR).collect()
+    assert len(rows) == 100
+    for r in rows:
+        assert r["n_samples"] == multimodal.WAV_N
+        assert r["sample_rate"] == multimodal.WAV_RATE
+        assert r["snr_db"] > 15.0
+        assert r["pcm_bytes"] / r["adpcm_bytes"] > 3.5
+        # sine at 0.5 FSD → RMS ≈ 0.5/sqrt(2); ADPCM noise is small
+        assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.02

@@ -11,6 +11,11 @@ Red flags:
 - BatchEvalPython: row-at-a-time Python UDF. Allowed only where declared
   (the deliberate F.udf demo on the 25-row nation table); everything else
   must be Arrow-batched (ArrowEvalPython / mapInPandas stages) or JVM.
+- Window over Exchange SinglePartition: an unpartitioned window funnels
+  the whole input through ONE task — the classic global-row_number scale
+  killer. Allowed only where the window's input is a bounded aggregate
+  (cardinality fixed by construction, not by data volume); each allowance
+  documents that bound.
 """
 
 from __future__ import annotations
@@ -29,7 +34,27 @@ ROW_UDF_ALLOWED = {"udf_scalar_vowels", "udf_sql_registered"}
 # not produce this node, so any appearance is an unintended plan).
 CARTESIAN_ALLOWED: set[str] = set()
 
+# Queries allowed a Window whose child is Exchange SinglePartition. Only
+# windows over BOUNDED aggregates qualify — the single task sees a row
+# count fixed by construction, independent of corpus size:
+# - ids_assign_contiguous: prefix-sum window over the per-bucket COUNTS
+#   (one row per bucket, #buckets ≈ shuffle parallelism — the whole point
+#   of the design is that the fact-level rank is per-bucket, never global)
+# - trend_wow_revenue: lag over the WEEKLY revenue aggregate (one row per
+#   calendar week in the data's time span, never the order facts)
+SINGLE_PARTITION_WINDOW_ALLOWED = {"ids_assign_contiguous", "trend_wow_revenue"}
+
 ALL_QUERIES = sorted(REGISTRY)
+
+
+def _has_single_partition_window(plan: str) -> bool:
+    """True if any Window node sits (within its subtree header) directly
+    above an Exchange SinglePartition — i.e. an unpartitioned window."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window [" in ln and "SinglePartition" in "\n".join(lines[i : i + 4]):
+            return True
+    return False
 
 
 @pytest.mark.parametrize("name", ALL_QUERIES)
@@ -41,4 +66,9 @@ def test_plan_has_no_scale_red_flags(spark, name):
     if name not in ROW_UDF_ALLOWED:
         assert "BatchEvalPython" not in plan, (
             f"{name}: row-at-a-time Python UDF in plan — use pandas_udf/mapInPandas"
+        )
+    if name not in SINGLE_PARTITION_WINDOW_ALLOWED:
+        assert not _has_single_partition_window(plan), (
+            f"{name}: unpartitioned Window (Exchange SinglePartition child) — "
+            "partition the window or aggregate first"
         )

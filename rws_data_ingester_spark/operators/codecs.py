@@ -508,10 +508,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        while payload[pos + 1] == 0xFF:  # legal fill bytes before a marker
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
-        if marker in (0xD8, 0xD9):
-            continue
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            continue  # standalone markers carry no length field
         length = struct.unpack_from(">H", payload, pos)[0]
         seg = payload[pos + 2 : pos + length]
         if marker == 0xDB:  # DQT — may hold several tables

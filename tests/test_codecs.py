@@ -124,6 +124,19 @@ def test_decoder_pinned_to_hand_assembled_jpeg():
     assert np.array_equal(img, np.full((8, 8), 131, np.uint8))
 
 
+def test_decoder_skips_app_com_segments_and_fill_bytes():
+    """Real-world JPEGs carry APPn/COM metadata segments and may pad with
+    0xFF fill bytes before markers; the decoder must skip both."""
+    img = gradient_rgb(16, 24)
+    payload = encode_jpeg(img, quality=90, subsample="4:4:4")
+    assert payload[:2] == b"\xff\xd8"
+    jfif = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    com = b"\xff\xfe" + struct.pack(">H", 2 + 5) + b"hello"
+    fill = b"\xff"  # fill byte directly before the next marker's 0xFF
+    decorated = payload[:2] + jfif + com + fill + payload[2:]
+    assert np.array_equal(decode_jpeg(decorated), decode_jpeg(payload))
+
+
 def test_decoder_rejects_progressive_sof():
     bad = b"\xff\xd8\xff\xc2" + struct.pack(">H", 2 + 9) + struct.pack(
         ">BHHB", 8, 8, 8, 1

@@ -373,9 +373,8 @@ def encode_jpeg(
     else:
         ycc = rgb_to_ycbcr(img)
         if subsample == "4:2:0":
+            # pad to the 16x16 luma MCU grid, then 2x2-mean downsample chroma
             ypad = _pad_to(ycc[..., 0], 16)
-            # 2x2 mean chroma downsample over the 16-padded luma grid
-            cb = ypad  # placeholder shape; real chroma below
             cbf = _pad_to(ycc[..., 1], 16)
             crf = _pad_to(ycc[..., 2], 16)
             cb = cbf.reshape(cbf.shape[0] // 2, 2, cbf.shape[1] // 2, 2).mean(axis=(1, 3))
@@ -395,7 +394,7 @@ def encode_jpeg(
     mcus_y = -(-h // (8 * vmax))
     # make sure every plane covers the full MCU grid
     planes = [
-        _pad_to(p, 1)
+        p
         if p.shape == (mcus_y * 8 * vi, mcus_x * 8 * hi)
         else np.pad(
             p,

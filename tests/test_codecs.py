@@ -164,6 +164,18 @@ def test_color_roundtrip_psnr_and_dims_both_subsamplings():
         assert psnr(img, dec) > floor, (sub, psnr(img, dec))
 
 
+def test_tiny_images_smaller_than_one_mcu():
+    for shape in ((3, 5, 3), (1, 1, 3), (7, 2)):
+        img = gradient_rgb(shape[0], shape[1]) if len(shape) == 3 else (
+            np.arange(shape[0] * shape[1]).reshape(shape) * 9 % 256
+        ).astype(np.uint8)
+        for sub in ("4:4:4", "4:2:0") if len(shape) == 3 else ("4:4:4",):
+            kw = {"subsample": sub} if len(shape) == 3 else {}
+            dec = decode_jpeg(encode_jpeg(img, quality=95, **kw))
+            assert dec.shape == img.shape
+            assert psnr(img, dec) > 25.0
+
+
 def test_grayscale_roundtrip():
     g = ((np.arange(24)[:, None] * 3 + np.arange(40)[None, :]) % 200).astype(np.uint8)
     dec = decode_jpeg(encode_jpeg(g, quality=95))

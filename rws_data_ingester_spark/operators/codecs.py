@@ -602,6 +602,148 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# PNG (lossless; RFC 2083 / ISO 15948 — stdlib zlib does the DEFLATE part)
+# --------------------------------------------------------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Lossless PNG encode of uint8 (h, w) grayscale, (h, w, 3) RGB, or
+    (h, w, 4) RGBA. Per scanline, picks the filter (None/Sub/Up) with the
+    smallest absolute residual sum — the standard libpng heuristic — so
+    smooth content DEFLATEs well; the decoder handles all 5 types."""
+    img = np.asarray(img, dtype=np.uint8)
+    import zlib
+
+    if img.ndim == 2:
+        color_type, nch = 0, 1
+        flat = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, nch = 2, 3
+        flat = img
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, nch = 6, 4
+        flat = img
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = flat.reshape(h, w * nch).astype(np.int16)
+    left = np.zeros_like(rows)
+    left[:, nch:] = rows[:, :-nch]
+    up = np.zeros_like(rows)
+    up[1:] = rows[:-1]
+    candidates = (rows, rows - left, rows - up)  # filter types 0, 1, 2
+    raw = bytearray()
+    for y in range(h):
+        resid = [(c[y] % 256).astype(np.uint8) for c in candidates]
+        # minimum sum of |signed residual| — libpng's MSAD heuristic
+        costs = [
+            int(np.minimum(r.astype(np.int16), 256 - r.astype(np.int16)).sum())
+            for r in resid
+        ]
+        ftype = int(np.argmin(costs))
+        raw += bytes([ftype]) + resid[ftype].tobytes()
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over one scanline (int16 math)."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG (grayscale / RGB / RGBA).
+    Verifies chunk CRCs, concatenates IDATs, inflates, and reverses all
+    five scanline filters (None/Sub/Up/Average/Paeth)."""
+    import zlib
+
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = nch = -1
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"IHDR":
+            w, h, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth} (8 only)")
+            if interlace != 0:
+                raise ValueError("Adam7 interlacing not supported")
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type, -1)
+            if nch < 0:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w < 0 or not idat:
+        raise ValueError("missing IHDR or IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated size does not match dimensions")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = int(lines[y, 0]), lines[y, 1:].copy()
+        prev = out[y - 1] if y else zero
+        if ftype == 0:
+            out[y] = line
+        elif ftype == 2:  # Up
+            out[y] = line + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = out[y]
+            for x in range(stride):
+                left = cur[x - nch] if x >= nch else 0
+                up = prev[x]
+                ul = prev[x - nch] if x >= nch else 0
+                if ftype == 1:
+                    cur[x] = (int(line[x]) + int(left)) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (int(line[x]) + (int(left) + int(up)) // 2) & 0xFF
+                else:
+                    cur[x] = (
+                        int(line[x])
+                        + int(_paeth(np.uint8(left), np.uint8(up), np.uint8(ul)))
+                    ) & 0xFF
+        else:
+            raise ValueError(f"unknown filter type {ftype}")
+    arr = out.reshape(h, w, nch)
+    return arr[:, :, 0] if nch == 1 else arr
+
+
+# --------------------------------------------------------------------------
 # IMA / DVI ADPCM (4 bits per sample, step-size-adaptive DPCM)
 # --------------------------------------------------------------------------
 

@@ -44,15 +44,20 @@ N_HISTOGRAM_BUCKETS = 8
 
 def decode_image(payload: bytes) -> "np.ndarray":
     """REAL image decode, dispatched on magic bytes: baseline JPEG
-    (pure-numpy T.81 decoder, ``operators/codecs.py``) or P6 PPM.
-    Returns (h, w, 3) or (h, w) uint8."""
+    (pure-numpy T.81 decoder, ``operators/codecs.py``), PNG (stdlib-zlib
+    inflate + all five scanline filters), or P6 PPM.
+    Returns (h, w, 3/4) or (h, w) uint8."""
     if payload[:2] == b"\xff\xd8":
         from rws_data_ingester_spark.operators.codecs import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from rws_data_ingester_spark.operators.codecs import decode_png
+
+        return decode_png(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
-    raise NotImplementedError("unsupported image format (JPEG and PPM are implemented)")
+    raise NotImplementedError("unsupported image format (JPEG, PNG, PPM are implemented)")
 
 
 def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:

@@ -31,7 +31,9 @@ from rws_data_ingester_spark.operators.codecs import (
     adpcm_encode,
     build_huffman_codes,
     decode_jpeg,
+    decode_png,
     encode_jpeg,
+    encode_png,
     quality_scale,
 )
 
@@ -203,6 +205,80 @@ def test_quality_trades_size_for_fidelity():
     lo, hi = encode_jpeg(img, quality=30), encode_jpeg(img, quality=95)
     assert len(lo) < len(hi)
     assert psnr(img, decode_jpeg(lo)) < psnr(img, decode_jpeg(hi))
+
+
+# --------------------------------------------------------------------------
+# PNG (lossless → exact equality everywhere)
+# --------------------------------------------------------------------------
+
+
+def test_png_roundtrip_is_exact_for_all_color_types():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, (19, 31), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (23, 17, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (9, 40, 4), dtype=np.uint8)
+    for img in (gray, rgb, rgba):
+        dec = decode_png(encode_png(img))
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.array_equal(dec, img)  # lossless: bit-exact
+
+
+def test_png_compresses_smooth_content():
+    img = gradient_rgb(64, 64)
+    assert len(encode_png(img)) < img.size // 2
+
+
+def test_png_decoder_handles_all_five_filters():
+    """Build IDAT scanlines by hand with every filter type (applying the
+    RFC 2083 forward filters to known pixels), so the unfilter logic is
+    pinned independently of encode_png (which only emits filter 0)."""
+    import zlib
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    h, w, nch = img.shape
+    flat = img.reshape(h, w * nch).astype(np.int16)
+    lines = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros_like(cur)
+        left = np.concatenate([np.zeros(nch, np.int16), cur[:-nch]])
+        upleft = np.concatenate([np.zeros(nch, np.int16), prev[:-nch]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        lines.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), img)
+
+
+def test_png_rejects_corrupt_crc():
+    payload = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
+    payload[20] ^= 0xFF  # flip a bit inside IHDR body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
 
 
 # --------------------------------------------------------------------------

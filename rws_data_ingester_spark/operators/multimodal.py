@@ -378,6 +378,35 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(run, schema=schema)
 
 
+def extract_image_metadata_quarantined(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode binary image payloads with PERMISSIVE-style quarantine: a
+    per-row decode failure (truncated file, unknown format, corrupt CRC)
+    lands in a ``decode_error`` column instead of killing the task — the
+    `source_json_corrupt_records` pattern applied to media. At 100 TB a
+    single bad file must never fail a 512 MB task's worth of good ones.
+    Emits decoded dims for good rows, NULL dims + the error class/message
+    for quarantined ones; downstream splits on ``decode_error IS NULL``."""
+    schema = f"{id_col} long, width long, height long, channels long, decode_error string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload) if payload is not None else b"")
+                    ch = 1 if img.ndim == 2 else img.shape[2]
+                    rows.append((int(doc_id), img.shape[1], img.shape[0], ch, None))
+                except Exception as exc:  # quarantine, never crash the task
+                    rows.append(
+                        (int(doc_id), None, None, None, f"{type(exc).__name__}: {exc}")
+                    )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "channels", "decode_error"]
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
 # --------------------------------------------------------------------------
 # Round 3: compressed codecs for real — baseline JPEG + IMA ADPCM
 # (pure numpy, operators/codecs.py). These close the JPEG/MP3 stub gap on

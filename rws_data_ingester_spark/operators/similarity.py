@@ -107,6 +107,59 @@ def hyperplane_signature(df: DataFrame, dim: int = 64, n_planes: int = 16, seed:
     return out.drop(*[f"plane_{i}" for i in range(n_planes)])
 
 
+def banded_hyperplane_signature(
+    df: DataFrame,
+    dim: int = 64,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Band-first hyperplane signatures: (vec_id, band_id, band_val), one
+    row per band, where band b packs the sign bits of planes
+    [b·band_bits, (b+1)·band_bits) into its OWN long. Removes
+    ``hyperplane_signature``'s 62-plane cap (each band only needs
+    band_bits ≤ 62; total planes n_bands × band_bits is unbounded), so
+    recall can be bought with more bands at any band width — the knob
+    table in SCALE.md extends past one machine word.
+
+    For the same (seed, dim) and n_bands × band_bits ≤ 62 this produces
+    exactly the band values ``banded_signature(hyperplane_signature(...))``
+    does (pinned in tests), so the two construction paths are
+    interchangeable; this one is also cheaper: no pack-then-unpack of a
+    full-width signature, and the per-band explode is the only row
+    multiplication."""
+    if not 1 <= band_bits <= 62:
+        raise ValueError(f"band_bits must be in [1, 62], got {band_bits}")
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_bands * band_bits, dim)
+    bands = []
+    for b in range(n_bands):
+        bits = []
+        for i in range(band_bits):
+            p = planes[b * band_bits + i]
+            plane_lit = F.array(*[F.lit(float(x)) for x in p])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    plane_lit,
+                    lambda a, c: a * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(dot > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                sum(bits[1:], bits[0]).cast("long").alias("band_val"),
+            )
+        )
+    return (
+        df.select("vec_id", F.explode(F.array(*bands)).alias("band"))
+        .select("vec_id", "band.band_id", "band.band_val")
+    )
+
+
 def banded_signature(
     sigs: DataFrame, n_bands: int = 4, band_bits: int = 4
 ) -> DataFrame:

@@ -73,7 +73,7 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
                  / len(string_split(text, ' ')), 6) AS distinct_ratio,
            ROUND((length(text) - length(replace(text, ' ', '')))::DOUBLE
-                 / length(text), 6) AS space_ratio,
+                 / nullif(length(text), 0), 6) AS space_ratio,
            ROUND(length(replace(text, ' ', ''))::DOUBLE
                  / len(string_split(text, ' ')), 4) AS avg_token_len,
            len(regexp_extract_all(text, '[a-z]+|[0-9]+'))::BIGINT AS n_regex_tokens
@@ -84,7 +84,12 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token count, lexical diversity
     (distinct-token ratio), whitespace ratio, mean token length, and a
     BPE-ish regex token count — the standard cheap quality filters for a
-    pretraining-data pipeline."""
+    pretraining-data pipeline.
+
+    The split-based denominators are safe without guards (split('', ' ')
+    yields [''] — size 1 — in both engines); space_ratio's length(text)
+    is the one true zero for empty documents, where Spark's x/0 → NULL
+    but DuckDB's → nan — nullif on both sides makes the engines agree."""
     d = Catalog(spark, sf_dir).documents
     toks = F.split("text", " ")
     n_toks = F.size(toks)
@@ -94,7 +99,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_toks.cast("long").alias("n_tokens"),
         F.round(F.size(F.array_distinct(toks)).cast("double") / n_toks, 6).alias("distinct_ratio"),
         F.round(
-            (F.length("text") - F.length(no_space)).cast("double") / F.length("text"), 6
+            (F.length("text") - F.length(no_space)).cast("double")
+            / F.nullif(F.length("text"), F.lit(0)),
+            6,
         ).alias("space_ratio"),
         F.round(F.length(no_space).cast("double") / n_toks, 4).alias("avg_token_len"),
         F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long").alias(
@@ -443,7 +450,7 @@ def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))::BIGINT
              AS bpe_tokens,
            ROUND(length(text)::DOUBLE
-                 / len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')), 4)
+                 / nullif(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')), 0), 4)
              AS chars_per_token
     FROM documents
     """,
@@ -455,7 +462,10 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses before the real tokenizer runs. Pure regexp in
     whole-stage codegen on both engines; the pattern deliberately avoids
     lookahead so Java regex (Spark) and RE2 (DuckDB) agree token-for-
-    token. chars_per_token is the standard compression-ratio proxy."""
+    token. chars_per_token is the standard compression-ratio proxy;
+    a whitespace-only document has zero BPE tokens, so the ratio is
+    NULL via nullif in both engines (Spark x/0 → NULL, DuckDB → inf —
+    the guard keeps the oracle comparable on degenerate data)."""
     d = Catalog(spark, sf_dir).documents
     bpe = F.size(
         F.expr(r"regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+', 0)")
@@ -464,5 +474,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        F.round(F.length("text").cast("double") / bpe, 4).alias("chars_per_token"),
+        F.round(F.length("text").cast("double") / F.nullif(bpe, F.lit(0)), 4).alias(
+            "chars_per_token"
+        ),
     )

@@ -288,7 +288,7 @@ def engagement_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(rev, 2) AS revenue,
            n_orders,
            ROUND(rev - LAG(rev) OVER (ORDER BY w), 2) AS wow_delta,
-           ROUND((rev / LAG(rev) OVER (ORDER BY w) - 1.0) * 100.0, 4)
+           ROUND((rev / nullif(LAG(rev) OVER (ORDER BY w), 0) - 1.0) * 100.0, 4)
              AS wow_pct
     FROM wk
     """,
@@ -298,7 +298,11 @@ def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The unpartitioned lag window is deliberate and safe — it runs over
     the WEEKLY AGGREGATE (one row per calendar week, bounded by the
     calendar, not the data), never over the fact table; the fact
-    collapses map-side first."""
+    collapses map-side first. A zero-revenue prior week makes wow_pct
+    undefined (NULL via nullif) in BOTH engines — Spark returns NULL for
+    x/0 while DuckDB returns inf, so the guard is a cross-engine
+    correctness constraint, not style (same class as the
+    timeseries_anomaly_zscore sd guard)."""
     o = Catalog(spark, sf_dir).orders
     wk = o.groupBy(F.date_trunc("week", "o_orderdate").alias("w")).agg(
         F.sum("o_totalprice").alias("rev"), F.count("*").alias("n_orders")
@@ -309,7 +313,7 @@ def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         "n_orders",
         F.round(F.col("rev") - lag, 2).alias("wow_delta"),
-        F.round((F.col("rev") / lag - 1.0) * 100.0, 4).alias("wow_pct"),
+        F.round((F.col("rev") / F.nullif(lag, F.lit(0.0)) - 1.0) * 100.0, 4).alias("wow_pct"),
     )
 
 

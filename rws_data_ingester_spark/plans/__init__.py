@@ -113,9 +113,77 @@ ROUND3_WINDOW = (
     "multimodal_audio_features",
 )
 assert len(ROUND3_WINDOW) == 50, len(ROUND3_WINDOW)
-_missing = [n for n in ROUND3_WINDOW if n not in REGISTRY]
-assert not _missing, f"round-3 window names not registered: {_missing}"
-_reordered = {n: REGISTRY[n] for n in ROUND3_WINDOW}
+
+# STAGED for the next rotation (flip _ACTIVE_WINDOW when CORRECTNESS_r03
+# lands green): the 21 oracle-paired queries that will then be the last
+# with no driver row ever (COVERAGE.md round-4 ledger) + 29 round-1
+# re-proof slots — r1 greens predate the round-2 14.7k-line growth, so
+# the analytics/relational/aggregate core gets re-proven on current code.
+# (join_asof_last_click / set_intersect_all already re-proven in r02.)
+ROUND4_WINDOW = (
+    # never-checked oracle pairs (21)
+    "scalar_variant_funcs",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_text_roundtrip",
+    "source_binaryfile_scan",
+    "sink_partitioned_pruning",
+    "sink_train_shards",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_by_status",
+    "q16_supplier_part_count",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "pipeline_incremental_merge",
+    "join_interval_bucketed",
+    "agg_corr_covar",
+    "agg_bool",
+    "agg_share_of_total",
+    "agg_grouping_id",
+    # round-1 re-proof (29): the qN analytics core first
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_flow",
+    "q8_market_share",
+    "q10_returned_items",
+    "q13_customer_order_histogram",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q22_dormant_customers",
+    "filter_predicates",
+    "join_inner_customer_orders",
+    "join_broadcast_star",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_theta_self",
+    "join_range_bands",
+    "sort_multi_key_top100",
+    "topk_lineitems",
+    "agg_basic",
+    "agg_rollup",
+)
+assert len(ROUND4_WINDOW) == 50, len(ROUND4_WINDOW)
+
+# The window the driver's 50-slot gate sees THIS round. Rounds 5+ then
+# rotate the remaining round-1 re-proof tail (set ops, pivots, subqueries,
+# agg_distinct/stats families) and the rows-only tier — see COVERAGE.md.
+_ACTIVE_WINDOW = ROUND3_WINDOW
+
+_missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
+assert not _missing, f"active window names not registered: {_missing}"
+_reordered = {n: REGISTRY[n] for n in _ACTIVE_WINDOW}
 for _n, _q in list(REGISTRY.items()):
     _reordered.setdefault(_n, _q)
 REGISTRY.clear()

@@ -220,3 +220,56 @@ def test_cosine_zero_vector_is_null_cross_engine(spark, tmp_path):
         """
     ).fetchall()
     assert drows[0][0] is None
+
+
+def test_banded_hyperplane_signature_matches_packed_path(spark):
+    """The band-first construction (no 62-plane cap) must produce exactly
+    the (vec_id, band_id, band_val) rows the packed-long path does for the
+    same seed and a ≤62-plane configuration — the two construction paths
+    are interchangeable, so recall/cost numbers measured on one apply to
+    the other."""
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.operators.similarity import (
+        banded_hyperplane_signature,
+        banded_signature,
+        hyperplane_signature,
+    )
+
+    e = Catalog(spark, SF_DIR).embeddings.select("vec_id", "embedding").limit(200)
+    packed = banded_signature(
+        hyperplane_signature(e, n_planes=16), n_bands=4, band_bits=4
+    )
+    direct = banded_hyperplane_signature(e, n_bands=4, band_bits=4)
+    a = {tuple(r) for r in packed.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b
+
+
+def test_banded_hyperplane_signature_beyond_word_width(spark):
+    """Signatures wider than one machine word (8 bands × 16 bits = 128
+    planes) must construct cleanly — the packed-long path hard-caps at 62
+    planes — and wider bands must be MORE selective: the per-band bucket
+    collision fraction at 16 bits is strictly below the 4-bit fraction."""
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.operators.similarity import banded_hyperplane_signature
+
+    e = Catalog(spark, SF_DIR).embeddings.select("vec_id", "embedding")
+    n = e.count()
+
+    def cand_frac(n_bands, band_bits):
+        b = banded_hyperplane_signature(e, n_bands=n_bands, band_bits=band_bits)
+        qb = b.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), "band_id", "band_val"
+        )
+        cands = (
+            qb.join(b.withColumnRenamed("vec_id", "nid"), ["band_id", "band_val"])
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid")
+            .distinct()
+            .count()
+        )
+        return cands / (10 * n)
+
+    wide = cand_frac(8, 16)   # 128 planes — impossible on the packed path
+    narrow = cand_frac(4, 4)
+    assert wide < narrow, (wide, narrow)

@@ -44,20 +44,44 @@ def test_entry_contract(spark):
 
 def test_driver_check_window_is_the_curated_round3_set():
     """The driver's correctness gate checks the FIRST 50 registered
-    queries only (CORRECTNESS_r01/r02 evidence). The round-3 window is
-    curated to cover the ~70 oracle-paired queries that never had a
-    driver row (COVERAGE.md ledger); pin its exact composition so a later
-    registration can't silently displace a query from the window (which
-    happened once in round 2: late dedup/similarity additions landed at
-    positions 8/16 until demoted)."""
+    queries only (CORRECTNESS_r01/r02 evidence). The active window is
+    curated per round (COVERAGE.md ledger); pin its exact composition so
+    a later registration can't silently displace a query from the window
+    (which happened once in round 2: late dedup/similarity additions
+    landed at positions 8/16 until demoted)."""
     import __spark_entry__ as e
-    from rws_data_ingester_spark.plans import ROUND3_WINDOW
+    from rws_data_ingester_spark.plans import _ACTIVE_WINDOW
 
     window = list(e.queries())[:50]
-    assert window == list(ROUND3_WINDOW), (
-        "driver check window drifted from the curated round-3 set; "
-        f"diff={set(window) ^ set(ROUND3_WINDOW)}"
+    assert window == list(_ACTIVE_WINDOW), (
+        "driver check window drifted from the curated active set; "
+        f"diff={set(window) ^ set(_ACTIVE_WINDOW)}"
     )
+
+
+def test_round4_staged_window_is_well_formed():
+    """ROUND4_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips):
+    50 registered names, no overlap with the round-3 window, and its
+    first 21 slots are queries with no driver row in r01∪r02 while the
+    re-proof tail re-checks round-1 greens on current code."""
+    import json
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND3_WINDOW, ROUND4_WINDOW
+
+    assert len(ROUND4_WINDOW) == 50
+    missing = [n for n in ROUND4_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert not set(ROUND4_WINDOW) & set(ROUND3_WINDOW)
+
+    repo = Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        seen |= set(json.loads((repo / rnd).read_text()))
+    dark = [n for n in ROUND4_WINDOW[:21] if n in seen]
+    assert not dark, f"round-4 dark slots already checked: {dark}"
+    reproved = [n for n in ROUND4_WINDOW[21:] if n not in seen]
+    assert not reproved, f"round-4 re-proof slots never checked in r01: {reproved}"
 
 
 def test_round3_window_targets_only_driver_dark_queries():

@@ -244,3 +244,80 @@ def test_wau_hll_tracks_exact_within_5pct(spark):
         for r in REGISTRY["engagement_wau_hll"].fn(spark, SF_DIR).collect()
     }
     assert max(merged.values()) <= 7
+
+
+def test_wow_trend_zero_revenue_week_cross_engine(spark, tmp_path):
+    """A week whose revenue sums to exactly 0 makes the next week's
+    wow_pct an x/0: Spark's Divide yields NULL while DuckDB's IEEE
+    division yields inf, so without the nullif guard the engines diverge
+    on such data. Pin: both emit NULL wow_pct for the week after a
+    zero-revenue week (same latent-divide class as the anomaly-zscore
+    sd guard; fixtures never contain a zero week)."""
+    import duckdb
+
+    rows = [
+        ("2024-01-01", 100.0),  # week 1
+        ("2024-01-08", 0.0),    # week 2: rev == 0
+        ("2024-01-09", 0.0),
+        ("2024-01-15", 50.0),   # week 3: wow_pct vs 0 → NULL
+    ]
+    df = spark.createDataFrame(
+        [(i, d, p) for i, (d, p) in enumerate(rows)],
+        "o_orderkey long, d string, o_totalprice double",
+    ).select(
+        "o_orderkey",
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+        "o_totalprice",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    out = {r["week_start"]: r for r in REGISTRY["trend_wow_revenue"].fn(spark, str(tmp_path)).collect()}
+    assert out["2024-01-15"]["wow_pct"] is None
+    assert out["2024-01-08"]["wow_pct"] == -100.0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet/*.parquet')"
+    )
+    drows = {r[0]: r for r in con.execute(REGISTRY["trend_wow_revenue"].oracle).fetchall()}
+    assert drows["2024-01-15"][4] is None
+    assert drows["2024-01-08"][4] == -100.0
+
+
+def test_text_ratio_guards_on_degenerate_docs_cross_engine(spark, tmp_path):
+    """Empty and whitespace/punctuation-only documents hit the two real
+    zero denominators in the text suite: space_ratio's length(text) and
+    chars_per_token's BPE token count. Pin that both engines return NULL
+    there (Spark x/0 → NULL, DuckDB → inf/nan without the guard) and
+    that the split-based ratios stay non-NULL (split('', ' ') → ['']
+    in both engines)."""
+    import duckdb
+
+    docs = [
+        (1, "", "en", "web", 0),
+        (2, "   ", "en", "web", 3),          # whitespace-only → 0 BPE tokens
+        (3, "normal text here", "en", "web", 16),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+
+    q = {r["doc_id"]: r for r in REGISTRY["text_quality_scores"].fn(spark, str(tmp_path)).collect()}
+    dq = {r[0]: r for r in con.execute(REGISTRY["text_quality_scores"].oracle).fetchall()}
+    assert q[1]["space_ratio"] is None and dq[1][3] is None
+    assert q[2]["space_ratio"] == 1.0 and dq[2][3] == 1.0
+    assert q[1]["distinct_ratio"] == 1.0 and dq[1][2] == 1.0  # [''] → 1/1
+
+    b = {r["doc_id"]: r for r in REGISTRY["text_token_count_bpe"].fn(spark, str(tmp_path)).collect()}
+    db = {r[0]: r for r in con.execute(REGISTRY["text_token_count_bpe"].oracle).fetchall()}
+    for k in (1, 2):
+        assert b[k]["bpe_tokens"] == 0 and db[k][2] == 0
+        assert b[k]["chars_per_token"] is None and db[k][3] is None
+    assert b[3]["chars_per_token"] == db[3][3] and b[3]["chars_per_token"] is not None

@@ -332,7 +332,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_position(toks, 'the')::BIGINT                   AS pos_the,
            len(list_filter(toks, t -> t != 'the'))::BIGINT      AS n_non_the,
            len(list_distinct(toks || ['__sentinel__']))::BIGINT AS n_with_sentinel,
-           array_to_string(toks[2:4], '|')                      AS mid_slice,
+           coalesce(array_to_string(toks[2:4], '|'), '')        AS mid_slice,
            len(flatten([toks, toks]))::BIGINT                   AS n_doubled,
            map_extract(meta, 'lang')[1]                         AS lang,
            map_extract(meta, 'source')[1]                       AS source,
@@ -348,7 +348,11 @@ def scalar_collection_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, union-with-sentinel distinctness, slice, flatten), column→map
     round-trip (the shape typed metadata columns use), and cryptographic
     hashes — all over one documents scan. DuckDB list_position and Spark
-    array_position agree on 1-based/0-for-missing semantics."""
+    array_position agree on 1-based/0-for-missing semantics; on an EMPTY
+    slice (docs under 2 tokens) Spark's array_join returns '' while
+    DuckDB's array_to_string returns NULL, so the oracle coalesces to ''
+    — the exposed semantic is Spark's (caught by the adversarial-corpus
+    differential test, not the fixtures)."""
     d = Catalog(spark, sf_dir).documents
     toks = F.split("text", " ")
     meta = F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source"))

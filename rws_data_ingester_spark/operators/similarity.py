@@ -208,11 +208,14 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup_similarity.py asserts both the shrink and recall vs
     exact). Exact cosine re-ranks candidates only: the band join shuffles
     on (band_id, band_val) with the tiny query side broadcast, so
-    O(n·queries) never materializes."""
+    O(n·queries) never materializes. Uses the band-first constructor
+    (no 62-plane cap), pinned equivalent to the packed-long path at this
+    width."""
     n_bands, band_bits = 4, 4
     e = Catalog(spark, sf_dir).embeddings
-    sigs = hyperplane_signature(e.select("vec_id", "embedding"))
-    bands = banded_signature(sigs, n_bands=n_bands, band_bits=band_bits)
+    bands = banded_hyperplane_signature(
+        e.select("vec_id", "embedding"), n_bands=n_bands, band_bits=band_bits
+    )
     qbands = bands.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "band_id", "band_val"
     )
@@ -413,10 +416,13 @@ def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(n²) never materializes. Output schema matches
     pipeline_embedding_dedup (per-label kept/dropped counts);
     tests/test_dedup_similarity.py asserts ≥0.9 recall of the exact
-    all-pairs duplicate set."""
+    all-pairs duplicate set. Bands come from the band-first constructor,
+    so recall can be bought past one machine word of planes (n_bands ×
+    band_bits unbounded) without touching this query."""
     e = Catalog(spark, sf_dir).embeddings
-    sigs = hyperplane_signature(e.select("vec_id", "embedding"))
-    banded = banded_signature(sigs, n_bands=4, band_bits=4)
+    banded = banded_hyperplane_signature(
+        e.select("vec_id", "embedding"), n_bands=4, band_bits=4
+    )
     v = e.select("vec_id", "label", _as_double("embedding").alias("e")).join(
         banded, "vec_id"
     )

@@ -106,7 +106,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_binaryfile_scan",
     oracle="""
     SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len
-    FROM documents WHERE doc_id < 50
+    FROM documents WHERE doc_id < 50 AND octet_length(encode(text)) > 0
     """,
 )
 def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +119,13 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     splittable across files, with ``spark.sql.files.maxPartitionBytes``
     controlling how many files land in each task. doc_id round-trips
     through the filename, byte length through the source's own ``length``
-    column — both checked against the parquet-side oracle."""
+    column — both checked against the parquet-side oracle. Spark's
+    binaryFile source silently SKIPS zero-byte files (verified
+    empirically; an empty payload produces no row), so the oracle
+    excludes empty documents — a corpus where empty payloads matter
+    must route them through a manifest, not the file scan (caught by
+    the adversarial-corpus differential test; fixtures have no empty
+    docs)."""
     import os
 
     from pyspark.sql import functions as F
@@ -142,7 +148,7 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH n AS (SELECT COUNT(*) AS n_rows FROM documents)
     SELECT CAST(CEIL(n_rows / 100.0) AS BIGINT) AS n_shards,
            n_rows::BIGINT AS n_rows,
-           100::BIGINT AS max_shard_rows,
+           LEAST(n_rows, 100)::BIGINT AS max_shard_rows,
            (n_rows - 100 * (CEIL(n_rows / 100.0) - 1))::BIGINT AS min_shard_rows
     FROM n
     """,
@@ -156,7 +162,9 @@ def sink_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     task makes the fill order exact (full shards + remainder); at scale
     you keep N writer tasks (repartition(N)) and the cap bounds each
     task's files the same way. The read-back audit (group by file) is the
-    manifest a loader consumes."""
+    manifest a loader consumes. max_shard_rows is LEAST(n_rows, cap): a
+    corpus smaller than one cap has a single short shard (adversarial-
+    corpus regression — the old oracle hard-coded the cap)."""
     from pyspark.sql import functions as F
 
     d = Catalog(spark, sf_dir).documents

@@ -1,0 +1,121 @@
+"""Differential fuzz of the documents-reading oracle pairs on an
+ADVERSARIAL corpus the fixtures never contain: empty/whitespace-only
+texts, regex metacharacters, quotes, newlines/tabs, repeated tokens,
+single-codepoint unicode (Latin-1 accents + CJK), very long tokens, and
+numeric soup. Every oracle-paired query whose SQL touches ONLY the
+documents table runs on both engines over this corpus with the driver's
+own compare rules — so a Spark↔DuckDB divergence on degenerate data
+surfaces here before a driver regeneration of the fixtures can.
+
+Deliberately excluded characters where the ENGINES' documented semantics
+differ (not our bug): combining marks / ZWJ emoji (DuckDB `length`
+counts grapheme clusters, Spark counts codepoints).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rws_data_ingester_spark.plans import REGISTRY
+from tests.conftest import TABLES, rows_to_multiset
+
+ADVERSARIAL_DOCS = [
+    # (text, lang, source)
+    ("", "en", "web"),
+    ("   ", "en", "web"),
+    ("\t\n \n\t", "en", "books"),
+    ("the the the the the the the the", "en", "web"),
+    ("a", "en", "wiki"),
+    ("$^.*+?()[]{}|\\ metachars $^.*+?()[]{}|\\", "en", "web"),
+    ("\"double\" 'single' `back` quotes", "en", "books"),
+    ("line one\nline two\nline three", "en", "wiki"),
+    ("tab\tseparated\ttokens here", "en", "web"),
+    ("éàü déjà vu naïve café", "fr", "web"),
+    ("中文 文本 没有 空格 的 语言", "zh", "wiki"),
+    ("der die und das ist der die und", "de", "books"),
+    ("el de que los las el de que", "es", "web"),
+    ("x" * 5000, "en", "web"),
+    (("word " * 400).strip(), "en", "books"),
+    ("1234567890 3.14159 -42 1e10 0x1F", "en", "wiki"),
+    ("email me at bob@example.com or 555-123-4567 at 10.0.0.1", "en", "web"),
+    ("UPPER lower MiXeD case TOKENS", "en", "books"),
+    ("semicolons; colons: commas, periods. dashes-and—emdash", "en", "web"),
+    ("le la et les des le la et", "fr", "wiki"),
+    ("short", "de", "web"),
+    ("repeat repeat unique1 unique2 unique3 repeat", "en", "web"),
+    ("0 00 000 0000 00000", "en", "books"),
+    ("mixed 中文 and english 文本 tokens", "zh", "web"),
+    ("trailing space ", "en", "wiki"),
+    (" leading space", "en", "wiki"),
+    ("double  space  between  tokens", "en", "web"),
+    ("'; DROP TABLE documents; --", "en", "web"),
+    ("null NULL NaN nan None", "en", "books"),
+    ("a b c d e f g h i j k l m n o p q r s t u v w x y z", "en", "wiki"),
+]
+
+OTHER_TABLES = [t for t in TABLES if t != "documents"]
+
+# Line-oriented text files cannot represent embedded newlines by
+# construction (each '\n' splits a document into two lines) — the
+# connector's docstring states the newline-free precondition, so the
+# adversarial corpus (which plants newlines on purpose) is outside its
+# contract, not a divergence.
+EXCLUDED = {"source_text_roundtrip"}
+
+
+def _documents_only_pairs():
+    names = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None or name in EXCLUDED:
+            continue
+        sql = q.oracle.lower()
+        if "documents" not in sql:
+            continue
+        if any(t in sql for t in OTHER_TABLES):
+            continue
+        names.append(name)
+    assert len(names) >= 10, names  # the text/dedup suite should qualify
+    return names
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial")
+    rows = [
+        (i, text, lang, source, len(text))
+        for i, (text, lang, source) in enumerate(ADVERSARIAL_DOCS)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).repartition(2).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _documents_only_pairs())
+def test_documents_only_oracle_pair_on_adversarial_corpus(spark, adversarial_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, adversarial_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{adversarial_dir}/documents.parquet/*.parquet')"
+    )
+    res = con.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sm, dm = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+    if sm != dm:
+        only_s = {k: c for k, c in sm.items() if dm.get(k) != c}
+        only_d = {k: c for k, c in dm.items() if sm.get(k) != c}
+        raise AssertionError(
+            f"{name}: value mismatch on adversarial corpus; "
+            f"spark-only sample {list(only_s.items())[:3]}; "
+            f"duck-only sample {list(only_d.items())[:3]}"
+        )

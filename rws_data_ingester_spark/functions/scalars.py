@@ -420,12 +420,18 @@ def scalar_explode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_json_funcs",
     oracle="""
     SELECT event_id,
-           json_extract(props, '$.k')::BIGINT                     AS k_path,
-           json_extract(props, '$.k')::BIGINT                     AS k_typed,
-           json_valid(props)                                      AS is_valid,
-           COALESCE(json_extract(props, '$.missing')::BIGINT, -1) AS k_fallback,
+           CASE WHEN COALESCE(json_valid(props), false)
+                THEN json_extract(props, '$.k')::BIGINT END       AS k_path,
+           CASE WHEN COALESCE(json_valid(props), false)
+                THEN json_extract(props, '$.k')::BIGINT END       AS k_typed,
+           COALESCE(json_valid(props), false)                     AS is_valid,
+           COALESCE(CASE WHEN COALESCE(json_valid(props), false)
+                         THEN json_extract(props, '$.missing')::BIGINT END,
+                    -1)                                           AS k_fallback,
            json_object('id', event_id,
-                       'k', json_extract(props, '$.k')::BIGINT)::VARCHAR AS packed
+                       'k', CASE WHEN COALESCE(json_valid(props), false)
+                                 THEN json_extract(props, '$.k')::BIGINT
+                            END)::VARCHAR                         AS packed
     FROM events WHERE event_id < 200
     """,
 )
@@ -434,19 +440,29 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JSON-decode-with-fallback (rotterdam_swimming_advice.py:138-141) in
     columnar form: path extraction (get_json_object), typed decode
     (from_json to a struct), validity probe, missing-path fallback
-    (coalesce default), and a to_json re-encode round-trip."""
+    (coalesce default), and a to_json re-encode round-trip.
+
+    Adversarial-log alignment (engines diverge on degenerate props
+    unless stated): is_valid is JSON-validity (try_parse_json, matching
+    DuckDB's json_valid — a bare array IS valid JSON even though it has
+    no $.k), NULL props is not-valid on both sides (coalesce), DuckDB's
+    json_extract ERRORS on malformed input so every oracle access sits
+    behind a json_valid CASE, and the re-encode keeps null fields
+    (ignoreNullFields=false) because DuckDB's json_object always emits
+    them."""
     ev = Catalog(spark, sf_dir).events
     parsed = F.from_json("props", "struct<k:long>")
     return ev.filter(F.col("event_id") < 200).select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k_path"),
         parsed["k"].alias("k_typed"),
-        F.from_json("props", "map<string,string>").isNotNull().alias("is_valid"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
         F.coalesce(
             F.get_json_object("props", "$.missing").cast("long"), F.lit(-1)
         ).alias("k_fallback"),
         F.to_json(
-            F.struct(F.col("event_id").alias("id"), parsed["k"].alias("k"))
+            F.struct(F.col("event_id").alias("id"), parsed["k"].alias("k")),
+            {"ignoreNullFields": "false"},
         ).alias("packed"),
     )
 
@@ -558,10 +574,14 @@ def scalar_encode_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_variant_funcs",
     oracle="""
     SELECT event_id,
-           json_extract(props, '$.k')::BIGINT AS k_long,
-           json_extract(props, '$.absent') IS NULL AS missing_is_null,
-           NOT json_valid('{' || props) AS bad_parse_null,
-           json_extract(props, '$')::VARCHAR AS props_roundtrip
+           CASE WHEN COALESCE(json_valid(props), false)
+                THEN json_extract(props, '$.k')::BIGINT END AS k_long,
+           (CASE WHEN COALESCE(json_valid(props), false)
+                 THEN json_extract(props, '$.absent') END) IS NULL
+             AS missing_is_null,
+           COALESCE(NOT json_valid('{' || props), true) AS bad_parse_null,
+           CASE WHEN COALESCE(json_valid(props), false)
+                THEN json_extract(props, '$')::VARCHAR END AS props_roundtrip
     FROM events
     """,
 )
@@ -574,9 +594,15 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ingest answer when a JSON payload has no stable schema to declare —
     the shredded binary encoding keeps path access columnar-ish instead
     of re-parsing strings per access (which is exactly what
-    get_json_object in scalar_json_funcs does on every call)."""
+    get_json_object in scalar_json_funcs does on every call).
+
+    The variant is built with try_parse_json, NOT parse_json: parse_json
+    RAISES on malformed input, so a single bad payload in a 100 TB log
+    would fail the job — try_parse_json degrades that row to NULL, which
+    the oracle mirrors with json_valid guards (DuckDB's json_extract
+    likewise errors on malformed input)."""
     ev = Catalog(spark, sf_dir).events
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return ev.select(
         "event_id",
         F.variant_get(v, "$.k", "long").alias("k_long"),

@@ -79,7 +79,7 @@ _SESSION_ORACLE = """
     WITH ordered AS (
       SELECT user_id, ts, event_id, value,
              CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       >= INTERVAL 30 MINUTE OR
+                       > INTERVAL 30 MINUTE OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
@@ -101,8 +101,16 @@ _SESSION_ORACLE = """
 @query("session_window_islands", oracle=_SESSION_ORACLE)
 def session_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via the gaps-and-islands formulation: flag rows whose
-    gap from the previous event >= 30 min, running-sum the flags into a
-    session id, then aggregate. One shuffle on user_id; linear per user."""
+    gap from the previous event EXCEEDS 30 min, running-sum the flags into
+    a session id, then aggregate. One shuffle on user_id; linear per user.
+
+    Boundary contract: a gap of EXACTLY 30 minutes stays in the same
+    session (strict >) — that is Spark's native session_window semantic
+    (an event at prev_ts + gap is adjacent to the closing window and
+    merges), and the islands form, the native form, their shared oracle,
+    and the streaming twin all state it identically so the four agree on
+    boundary-aligned logs (caught by the adversarial events fuzz; the
+    fixtures' microsecond timestamps never land on the boundary)."""
     ev = Catalog(spark, sf_dir).events
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(W.unboundedPreceding, 0)
@@ -111,7 +119,7 @@ def session_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interval comparison near the 30-minute boundary.
     gap_flag = F.when(
         F.lag("ts").over(w).isNull()
-        | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") >= 1800.0),
+        | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800.0),
         1,
     ).otherwise(0)
     sessions = ev.withColumn("new_session", gap_flag).withColumn(
@@ -152,19 +160,28 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_first_event",
     oracle="""
     SELECT user_id, event_type,
-           MIN_BY(event_id, ts)::BIGINT AS first_event_id,
-           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts
-    FROM events GROUP BY user_id, event_type
+           event_id::BIGINT AS first_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
     """,
 )
 def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch form of streaming dropDuplicates: keep the earliest row per
-    key. min_by avoids a window sort — single hash agg, scale-friendly.
-    (event ts values are unique per user in the fixtures, so min_by ties
-    cannot occur; the streaming variant lives in streaming.jobs.)"""
+    key. min_by over a (ts, event_id) struct avoids a window sort —
+    single hash agg, scale-friendly — AND makes the keep choice
+    deterministic under timestamp ties (struct ordering is
+    lexicographic): ties are real at corpus scale, and a tie broken
+    arbitrarily is retry-unstable. The oracle states the same contract
+    as a ROW_NUMBER window (DuckDB's min_by lacks composite ordering
+    keys). The streaming variant lives in streaming.jobs."""
     ev = Catalog(spark, sf_dir).events
     return ev.groupBy("user_id", "event_type").agg(
-        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"),
         ts_str(F.min("ts")).alias("first_ts"),
     )
 

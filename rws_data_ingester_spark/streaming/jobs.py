@@ -32,14 +32,32 @@ def events_schema(sf_dir: str) -> T.StructType:
     the driver produced — INT64 TIMESTAMP(NANOS) must be read as epoch-nanos
     long (``nanosAsLong``), TIMESTAMP(MICROS, isAdjustedToUTC=false) as
     TIMESTAMP_NTZ — so probe the footer once (driver-side metadata read,
-    O(1) regardless of data size) instead of hardcoding either."""
+    O(1) regardless of data size) instead of hardcoding either. The
+    events table may be a single parquet file (driver fixtures) or a
+    directory of part files (any Spark-written table) — probe one part
+    file's footer in the directory case."""
     import pyarrow.parquet as pq
 
-    ts_arrow = (
-        pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    )
-    if getattr(ts_arrow, "unit", None) == "ns":
-        ts_type: T.DataType = T.LongType()
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = os.path.join(path, parts[0])
+    # Physical type first: legacy INT96 timestamps (Spark's own default
+    # output type) surface through pyarrow as timestamp[ns] exactly like
+    # INT64 TIMESTAMP(NANOS), but nanosAsLong does NOT apply to INT96 —
+    # Spark always reads INT96 as TimestampType.
+    pf = pq.ParquetFile(path)
+    phys = pf.metadata.schema
+    names = [phys.column(i).name for i in range(len(phys))]
+    ts_arrow = pf.schema_arrow.field("ts").type
+    if phys.column(names.index("ts")).physical_type == "INT96":
+        ts_type: T.DataType = T.TimestampType()
+    elif getattr(ts_arrow, "unit", None) == "ns":
+        ts_type = T.LongType()
     elif getattr(ts_arrow, "tz", None) is None:
         ts_type = T.TimestampNTZType()
     else:
@@ -57,17 +75,30 @@ def events_schema(sf_dir: str) -> T.StructType:
 
 
 def _stream_source_dir(sf_dir: str) -> str:
-    """The file stream source requires a *directory*; the fixture is a
-    single parquet file. Expose it through a stable symlinked directory
-    under /tmp (read-only fixture tree must not be touched)."""
+    """The file stream source requires a *directory* of data files; the
+    events table may be a single parquet file (driver fixtures) or a
+    Spark-written directory of part files — the file source does NOT
+    recurse into a symlinked subdirectory (it lists it as a zero-row
+    "file"), so in the directory case each part file is symlinked flat.
+    Exposed through a stable symlinked directory under /tmp (read-only
+    fixture tree must not be touched)."""
     import hashlib
 
+    src = os.path.join(sf_dir, "events.parquet")
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     d = f"/tmp/rws_stream_events_{tag}"
     os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    if os.path.isdir(src):
+        for part in sorted(os.listdir(src)):
+            if not part.endswith(".parquet"):
+                continue
+            link = os.path.join(d, part)
+            if not os.path.exists(link):
+                os.symlink(os.path.join(src, part), link)
+    else:
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
     return d
 
 

@@ -65,6 +65,8 @@ EXCLUDED = {"source_text_roundtrip"}
 
 
 def _documents_only_pairs():
+    import re
+
     names = []
     for name, q in REGISTRY.items():
         if q.oracle is None or name in EXCLUDED:
@@ -72,7 +74,8 @@ def _documents_only_pairs():
         sql = q.oracle.lower()
         if "documents" not in sql:
             continue
-        if any(t in sql for t in OTHER_TABLES):
+        # word-boundary match: "part" must not hit "PARTITION BY"
+        if any(re.search(rf"\b{t}\b", sql) for t in OTHER_TABLES):
             continue
         names.append(name)
     assert len(names) >= 10, names  # the text/dedup suite should qualify

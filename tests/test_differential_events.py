@@ -1,0 +1,147 @@
+"""Differential fuzz of the events-reading oracle pairs on an
+ADVERSARIAL event log the fixtures never contain: timestamps exactly on
+hour/day/week boundaries, identical-timestamp ties, exact duplicate
+rows under distinct event_ids, sessions exactly at the gap threshold,
+single-event users, a constant-rate event type, malformed / non-object /
+null JSON props, empty-string and unicode event types, zero / negative /
+NULL values. Every oracle-paired query whose SQL touches ONLY the events
+table runs on both engines with the driver's compare rules — window
+inclusion boundaries, keep-first tie-breaks, and JSON fallbacks are the
+classic cross-engine divergence surface.
+
+The streaming stream_* pairs replay the same parquet through
+availableNow triggers, so this also pins streaming semantics on
+boundary data.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.plans import REGISTRY
+from tests.conftest import TABLES, rows_to_multiset
+
+# (event_id, ts, user_id, event_type, value, props)
+ADVERSARIAL_EVENTS = [
+    # user 1: a complete signup→click→purchase funnel, clean
+    (0, "2024-01-01 00:09:58.778549", 1, "signup", 10.0, '{"k": 1}'),
+    (1, "2024-01-01 00:16:06.738090", 1, "click", 5.5, '{"k": 2}'),
+    (2, "2024-01-01 00:30:00.000000", 1, "purchase", 99.99, '{"k": 3}'),
+    # user 2: purchase BEFORE click (out-of-order funnel)
+    (3, "2024-01-01 01:00:00.000000", 2, "purchase", 50.0, '{"k": 4}'),
+    (4, "2024-01-01 02:00:00.000000", 2, "click", 1.0, '{"k": 5}'),
+    # exact hour boundaries: both endpoints of [01:00, 02:00)
+    (5, "2024-01-01 01:00:00.000000", 3, "click", 2.0, '{"k": 6}'),
+    (6, "2024-01-01 01:59:59.999999", 3, "click", 3.0, '{"k": 7}'),
+    (7, "2024-01-01 02:00:00.000000", 3, "click", 4.0, '{"k": 8}'),
+    # identical-timestamp tie for one user, distinct event_ids
+    (8, "2024-01-01 03:00:00.000000", 4, "click", 1.0, '{"k": 9}'),
+    (9, "2024-01-01 03:00:00.000000", 4, "click", 2.0, '{"k": 10}'),
+    # exact duplicate payload under a new event_id (dedup target)
+    (10, "2024-01-01 03:00:00.000000", 4, "click", 1.0, '{"k": 9}'),
+    # session gap EXACTLY at a 30-minute threshold
+    (11, "2024-01-01 04:00:00.000000", 5, "click", 1.0, '{"k": 11}'),
+    (12, "2024-01-01 04:30:00.000000", 5, "click", 1.0, '{"k": 12}'),
+    (13, "2024-01-01 05:00:00.000001", 5, "click", 1.0, '{"k": 13}'),
+    # single-event user
+    (14, "2024-01-02 00:00:00.000000", 6, "signup", 0.0, '{"k": 14}'),
+    # constant-rate type: exactly 2 per hour for 3 hours (sd = 0)
+    (15, "2024-01-02 01:10:00.000000", 7, "steady", 1.0, '{"k": 15}'),
+    (16, "2024-01-02 01:40:00.000000", 7, "steady", 1.0, '{"k": 16}'),
+    (17, "2024-01-02 02:10:00.000000", 7, "steady", 1.0, '{"k": 17}'),
+    (18, "2024-01-02 02:40:00.000000", 7, "steady", 1.0, '{"k": 18}'),
+    (19, "2024-01-02 03:10:00.000000", 7, "steady", 1.0, '{"k": 19}'),
+    (20, "2024-01-02 03:40:00.000000", 7, "steady", 1.0, '{"k": 20}'),
+    # malformed / non-object / empty / null-valued JSON props
+    (21, "2024-01-03 00:00:00.000000", 8, "error", -1.0, "{not json"),
+    (22, "2024-01-03 00:10:00.000000", 8, "error", 0.0, "[1, 2, 3]"),
+    (23, "2024-01-03 00:20:00.000000", 8, "error", None, ""),
+    (24, "2024-01-03 00:30:00.000000", 8, "error", 7.0, '{"k": null}'),
+    (25, "2024-01-03 00:40:00.000000", 8, "error", 8.0, None),
+    (26, "2024-01-03 00:50:00.000000", 8, "error", 9.0, '{"other": 5}'),
+    # empty-string and unicode event types
+    (27, "2024-01-04 00:00:00.000000", 9, "", 1.0, '{"k": 27}'),
+    (28, "2024-01-04 00:05:00.000000", 9, "点击", 2.0, '{"k": 28}'),
+    # week boundary: Sunday 23:59:59 vs Monday 00:00:00 (cohort weeks)
+    (29, "2024-01-07 23:59:59.000000", 10, "signup", 1.0, '{"k": 29}'),
+    (30, "2024-01-08 00:00:00.000000", 10, "click", 1.0, '{"k": 30}'),
+    (31, "2024-01-15 00:00:00.000000", 10, "click", 1.0, '{"k": 31}'),
+    # negative and zero values for sums
+    (32, "2024-01-05 12:00:00.000000", 11, "purchase", -42.5, '{"k": 32}'),
+    (33, "2024-01-05 12:30:00.000000", 11, "purchase", 0.0, '{"k": 33}'),
+    # a click then purchase within the attribution window across users
+    (34, "2024-01-06 10:00:00.000000", 12, "click", 1.0, '{"k": 34}'),
+    (35, "2024-01-06 10:59:59.000000", 12, "purchase", 75.0, '{"k": 35}'),
+    (36, "2024-01-06 11:00:01.000000", 12, "purchase", 85.0, '{"k": 36}'),
+]
+
+OTHER_TABLES = [t for t in TABLES if t != "events"]
+
+
+def _events_only_pairs():
+    import re
+
+    names = []
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        sql = q.oracle.lower()
+        if "events" not in sql:
+            continue
+        # word-boundary match: "part" must not hit "PARTITION BY"
+        if any(re.search(rf"\b{t}\b", sql) for t in OTHER_TABLES):
+            continue
+        names.append(name)
+    assert len(names) >= 15, names
+    return names
+
+
+@pytest.fixture(scope="module")
+def adversarial_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adversarial_events")
+    df = spark.createDataFrame(
+        ADVERSARIAL_EVENTS,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.repartition(2).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _events_only_pairs())
+def test_events_only_oracle_pair_on_adversarial_log(spark, adversarial_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, adversarial_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{adversarial_dir}/events.parquet/*.parquet')"
+    )
+    res = con.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sm, dm = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+    if sm != dm:
+        only_s = {k: c for k, c in sm.items() if dm.get(k) != c}
+        only_d = {k: c for k, c in dm.items() if sm.get(k) != c}
+        raise AssertionError(
+            f"{name}: value mismatch on adversarial events; "
+            f"spark-only sample {list(only_s.items())[:3]}; "
+            f"duck-only sample {list(only_d.items())[:3]}"
+        )

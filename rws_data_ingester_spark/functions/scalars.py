@@ -137,9 +137,12 @@ def scalar_string_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFra
         F.ascii("c_mktsegment").cast("long").alias("seg_ascii"),
         F.chr(F.lit(65) + (F.col("c_custkey") % 26)).alias("key_letter"),
         F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
-        F.format_string("%s has balance %.2f", F.col("c_name"), F.col("c_acctbal")).alias(
-            "summary"
-        ),
+        # format_string renders a NULL arg as the text "null" while DuckDB's
+        # printf propagates NULL — pin the null-propagating behavior.
+        F.when(
+            F.col("c_name").isNotNull() & F.col("c_acctbal").isNotNull(),
+            F.format_string("%s has balance %.2f", F.col("c_name"), F.col("c_acctbal")),
+        ).alias("summary"),
         F.initcap(F.lower("c_name")).alias("name_title"),
         F.instr("c_name", "1").cast("long").alias("pos_one"),
         F.substring("c_mktsegment", 1, 3).alias("seg3"),
@@ -159,9 +162,11 @@ def scalar_string_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFra
            floor(l_extendedprice)::BIGINT               AS price_floor,
            ceil(l_extendedprice)::BIGINT                AS price_ceil,
            ROUND(pow(l_quantity, 2), 4)                 AS qty_sq,
-           ROUND(ln(l_extendedprice), 6)                AS price_ln,
+           CASE WHEN l_extendedprice > 0
+                THEN ROUND(ln(l_extendedprice), 6) END  AS price_ln,
            ROUND(exp(l_discount), 6)                    AS disc_exp,
-           ROUND(sqrt(l_extendedprice), 6)              AS price_sqrt,
+           CASE WHEN l_extendedprice >= 0
+                THEN ROUND(sqrt(l_extendedprice), 6) END AS price_sqrt,
            (l_linenumber % 3)::BIGINT                   AS line_mod,
            ROUND(greatest(l_discount, l_tax), 4)        AS max_rate,
            ROUND(least(l_discount, l_tax), 4)           AS min_rate,
@@ -186,9 +191,15 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
         F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        # ln/sqrt domains are guarded identically on both engines: DuckDB
+        # ERRORS on ln(x<=0) / sqrt(x<0) where Spark yields NULL/NaN.
+        F.when(F.col("l_extendedprice") > 0, F.round(F.log("l_extendedprice"), 6)).alias(
+            "price_ln"
+        ),
         F.round(F.exp("l_discount"), 6).alias("disc_exp"),
-        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.when(F.col("l_extendedprice") >= 0, F.round(F.sqrt("l_extendedprice"), 6)).alias(
+            "price_sqrt"
+        ),
         (F.col("l_linenumber") % 3).cast("long").alias("line_mod"),
         F.round(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
         F.round(F.least("l_discount", "l_tax"), 4).alias("min_rate"),

@@ -49,7 +49,14 @@ def udf_scalar_vowels(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @F.pandas_udf(T.DoubleType())
 def geomean(v: pd.Series) -> float:
-    return float(np.exp(np.log(v.to_numpy()).mean()))
+    # Geometric mean is defined only for positive values: non-positive or
+    # NULL prices are excluded on BOTH engines (DuckDB's LN errors on
+    # x <= 0; numpy's returns NaN/-inf). All-excluded group -> NULL.
+    vals = v.to_numpy(dtype="float64", na_value=np.nan)
+    vals = vals[vals > 0.0]
+    if len(vals) == 0:
+        return None
+    return float(np.exp(np.log(vals).mean()))
 
 
 @F.pandas_udf(T.LongType())
@@ -61,7 +68,8 @@ def pd_count(v: pd.Series) -> int:
     "udaf_geomean_price",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geo_mean_price,
+           ROUND(EXP(AVG(LN(CASE WHEN o_totalprice > 0 THEN o_totalprice END))), 2)
+             AS geo_mean_price,
            COUNT(*)::BIGINT AS n_orders
     FROM orders GROUP BY o_orderpriority
     """,

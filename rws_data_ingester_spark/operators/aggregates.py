@@ -207,10 +207,20 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The envelope claim only holds for groups large enough that the
+    interpolated p40..p60 band contains an actual element: approx_percentile
+    returns a group MEMBER, so a 4-row group whose exact p40/p60 interpolate
+    between elements can legitimately exclude it. The contract is asserted
+    for groups with >= 30 non-null values and is vacuous (TRUE) below that —
+    at driver scale (sf >= 0.001) every return flag has thousands of rows."""
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000)
-        .between(F.percentile("l_extendedprice", 0.4), F.percentile("l_extendedprice", 0.6))
+        F.when(F.count("l_extendedprice") < 30, F.lit(True))
+        .otherwise(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).between(
+                F.percentile("l_extendedprice", 0.4), F.percentile("l_extendedprice", 0.6)
+            )
+        )
         .alias("within_bounds")
     )
 

@@ -30,12 +30,12 @@ from rws_data_ingester_spark.plans.registry import query
            DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::BIGINT AS prio_dense,
            ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)::BIGINT AS rn_in_status,
            NTILE(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey)::BIGINT AS quartile,
-           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+           ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS LAST), 6)
              AS pct_rank,
-           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 6)
+           ROUND(CUME_DIST() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice NULLS LAST), 6)
              AS cume,
            NTH_VALUE(o_orderkey, 2) OVER (
-             PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey
+             PARTITION BY o_orderstatus ORDER BY o_totalprice DESC NULLS LAST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            )::BIGINT AS second_priciest_key
     FROM orders
@@ -49,12 +49,15 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     One query = one shuffle per distinct partitioning; Catalyst groups the
     three o_orderstatus windows into shared Window nodes."""
     o = Catalog(spark, sf_dir).orders
+    # o_totalprice is nullable: Spark defaults ASC to NULLS FIRST while
+    # DuckDB defaults to NULLS LAST, so the null placement is pinned
+    # explicitly (LAST) on both engines.
     w_prio = W.partitionBy("o_custkey").orderBy("o_orderpriority")
     w_key = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
-    w_price = W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+    w_price = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").asc_nulls_last())
     w_nth = (
         W.partitionBy("o_orderstatus")
-        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
     return o.select(
@@ -183,18 +186,22 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_share_of_group",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice / SUM(l_extendedprice) OVER (PARTITION BY l_orderkey), 6)
-             AS price_share
+           ROUND(l_extendedprice / nullif(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey), 0),
+                 6) AS price_share
     FROM lineitem
     """,
 )
 def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     w = W.partitionBy("l_orderkey")
+    # nullif guards the zero-sum group (prices can cancel): Spark's ANSI
+    # divide would error and DuckDB would emit inf — NULL on both engines.
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w), 6).alias("price_share"),
+        F.round(
+            F.col("l_extendedprice") / F.nullif(F.sum("l_extendedprice").over(w), F.lit(0.0)), 6
+        ).alias("price_share"),
     )
 
 

@@ -286,7 +286,11 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 4)          AS vec_sum,
            ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6)          AS vec_max,
            ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 6)          AS vec_min,
-           ROUND(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 4) AS norm_sq,
+           -- sum-of-squares via transform+aggregate: list_dot_product
+           -- raises on a NULL list (even under CASE — vectorized eager
+           -- evaluation) while this form propagates NULL like Spark.
+           ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'), 4)
+                                                                         AS norm_sq,
            ROUND(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'sum'), 4)
              AS l1_norm,
            len(list_filter(embedding::DOUBLE[], x -> x > 0))::BIGINT     AS n_positive

@@ -368,7 +368,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
     pairs AS (
       SELECT a.label AS label,
              list_dot_product(a.e, b.e)
@@ -387,7 +388,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     stands in for the IVF/LSH bucket a production run would use — the
     crossJoin never leaves a block."""
     e = Catalog(spark, sf_dir).embeddings
-    v = e.select(
+    # NULL embeddings are unscorable and never form pairs on either engine
+    # (DuckDB's list_dot_product errors on a NULL list).
+    v = e.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
     )
     a, b = v.alias("a"), v.alias("b")

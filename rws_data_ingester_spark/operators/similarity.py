@@ -33,10 +33,14 @@ def cosine_topk(
     """Exact top-k cosine neighbors: broadcast the (small) query side,
     score every (query, corpus) pair, keep k per query via a rank-limited
     window (Catalyst pushes the limit into the sort)."""
-    q = queries.select(
+    # NULL embeddings are unscorable — dropped from both sides up front
+    # (mirrors the oracle's WHERE embedding IS NOT NULL).
+    q = queries.filter(F.col("embedding").isNotNull()).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce"))
+    c = corpus.filter(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+    )
     dot = F.expr(_DOT.format(a="qe", b="ce"))
     qn = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
     cn = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
@@ -55,7 +59,12 @@ def cosine_topk(
 @query(
     "simsearch_topk_exact",
     oracle="""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    -- NULL embeddings are excluded on both sides (unscorable, and DuckDB's
+    -- list_dot_product errors on a NULL list); a zero-norm vector still
+    -- participates with NULL cosine, ranked DESC NULLS LAST to match
+    -- Spark's desc() default so the tail of a short candidate list agrees.
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE embedding IS NOT NULL),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(q.e, c.e)
@@ -67,7 +76,7 @@ def cosine_topk(
     SELECT query_id, neighbor_id, cosine_sim, rank
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine_sim DESC, neighbor_id)::BIGINT AS rank
+                                   ORDER BY cosine_sim DESC NULLS LAST, neighbor_id)::BIGINT AS rank
       FROM scored
     ) WHERE rank <= 5
     """,
@@ -439,9 +448,13 @@ def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_embedding_dedup",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    -- NULL embeddings cannot be scored (and DuckDB's list_dot_product
+    -- errors on a NULL list): they never participate in pairs, mirroring
+    -- the NULL-dot drop on the Spark side.
+    nn AS (SELECT * FROM v WHERE e IS NOT NULL),
     dup_ids AS (
       SELECT DISTINCT b.vec_id
-      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
       WHERE list_dot_product(a.e, b.e)
             / nullif(sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)), 0)
             >= 0.9
@@ -474,9 +487,11 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = F.sqrt(
         F.expr("aggregate(zip_with(b.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
     )
+    # nullif guards the zero-norm pair (ANSI divide would error); a NULL
+    # embedding yields a NULL dot, so the >= filter drops it on both engines.
     dup_ids = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter((dot / (na * nb)) >= 0.9)
+        .filter((dot / F.nullif(na * nb, F.lit(0.0))) >= 0.9)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )

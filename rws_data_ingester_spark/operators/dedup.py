@@ -369,7 +369,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_embedding_cosine",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
     pairs AS (
       SELECT a.label AS label,
              list_dot_product(a.e, b.e)
@@ -387,10 +388,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup statistics per label block. Blocking on `label`
     stands in for the IVF/LSH bucket a production run would use — the
     crossJoin never leaves a block."""
+    from rws_data_ingester_spark.operators.similarity import scorable
+
     e = Catalog(spark, sf_dir).embeddings
-    # NULL embeddings are unscorable and never form pairs on either engine
-    # (DuckDB's list_dot_product errors on a NULL list).
-    v = e.filter(F.col("embedding").isNotNull()).select(
+    # Unscorable embeddings (NULL / NaN / Inf) never form pairs on either
+    # engine — see similarity.scorable() and its oracle twin above.
+    v = scorable(e).select(
         "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
     )
     a, b = v.alias("a"), v.alias("b")

@@ -27,18 +27,34 @@ def _as_double(col: str) -> F.Column:
     return F.expr(f"transform({col}, x -> cast(x as double))")
 
 
+def scorable(df: DataFrame) -> DataFrame:
+    """Drop vectors no similarity tier can score or index: NULL
+    embeddings and embeddings containing NaN/±Inf components. MLlib's
+    Vector rejects them outright, a NaN poisons every BLAS matmul it
+    touches, and treating NaN >= threshold as a near-dup hit would drop
+    good rows — so unscorable vectors are excluded from scoring and pair
+    formation (they are still KEPT by removal pipelines: never a dup).
+    The DuckDB oracle twin of this predicate is
+    `embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> isnan(x) OR isinf(x))) = 0`."""
+    bad = F.exists(
+        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    return df.filter(F.col("embedding").isNotNull() & ~bad)
+
+
 def cosine_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5
 ) -> DataFrame:
     """Exact top-k cosine neighbors: broadcast the (small) query side,
     score every (query, corpus) pair, keep k per query via a rank-limited
     window (Catalyst pushes the limit into the sort)."""
-    # NULL embeddings are unscorable — dropped from both sides up front
-    # (mirrors the oracle's WHERE embedding IS NOT NULL).
-    q = queries.filter(F.col("embedding").isNotNull()).select(
+    # Unscorable vectors (NULL / NaN / Inf) are dropped from both sides up
+    # front — see scorable() for the contract and its oracle twin.
+    q = scorable(queries).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
-    c = corpus.filter(F.col("embedding").isNotNull()).select(
+    c = scorable(corpus).select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
     )
     dot = F.expr(_DOT.format(a="qe", b="ce"))
@@ -59,12 +75,13 @@ def cosine_topk(
 @query(
     "simsearch_topk_exact",
     oracle="""
-    -- NULL embeddings are excluded on both sides (unscorable, and DuckDB's
-    -- list_dot_product errors on a NULL list); a zero-norm vector still
+    -- Unscorable embeddings (NULL / NaN / Inf components) are excluded on
+    -- both sides — the oracle twin of scorable(); a zero-norm vector still
     -- participates with NULL cosine, ranked DESC NULLS LAST to match
     -- Spark's desc() default so the tail of a short candidate list agrees.
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL),
+               WHERE embedding IS NOT NULL
+                 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(q.e, c.e)
@@ -199,7 +216,7 @@ def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via hyperplane-LSH bucketing: neighbors are searched only inside
     the query's signature bucket. Returns per-bucket membership so the
     test can measure recall against the exact path."""
-    e = Catalog(spark, sf_dir).embeddings
+    e = scorable(Catalog(spark, sf_dir).embeddings)
     sigs = hyperplane_signature(e.select("vec_id", "embedding"))
     return sigs.select("vec_id", "lsh_sig")
 
@@ -221,7 +238,7 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no 62-plane cap), pinned equivalent to the packed-long path at this
     width."""
     n_bands, band_bits = 4, 4
-    e = Catalog(spark, sf_dir).embeddings
+    e = scorable(Catalog(spark, sf_dir).embeddings)
     bands = banded_hyperplane_signature(
         e.select("vec_id", "embedding"), n_bands=n_bands, band_bits=band_bits
     )
@@ -267,7 +284,9 @@ def ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vecs = emb.select(
+    # MLlib Vectors reject NaN/Inf outright; unscorable vectors are simply
+    # not indexed (removal pipelines keep them, probes can't return them).
+    vecs = scorable(emb).select(
         "vec_id", array_to_vector(_as_double("embedding")).alias("features")
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(vecs)
@@ -290,7 +309,7 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = 4
     e = Catalog(spark, sf_dir).embeddings
     assignments, cents = ivf_index(e.select("vec_id", "embedding"))
-    q = e.filter(F.col("vec_id") < 10).select(
+    q = scorable(e).filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
     l2 = F.expr(
@@ -342,7 +361,7 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
     the LSH/IVF tiers instead."""
     import pandas as pd
 
-    qrows = queries.select("vec_id", "embedding").collect()
+    qrows = scorable(queries).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows])
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qlen = np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -372,7 +391,7 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
             )
             yield out[out.query_id != out.neighbor_id]
 
-    scored = corpus.select("vec_id", "embedding").mapInPandas(
+    scored = scorable(corpus).select("vec_id", "embedding").mapInPandas(
         score, "query_id long, neighbor_id long, cosine_sim double"
     )
     # round in Spark, not numpy: np.round is half-to-even; F.round matches
@@ -429,10 +448,11 @@ def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so recall can be bought past one machine word of planes (n_bands ×
     band_bits unbounded) without touching this query."""
     e = Catalog(spark, sf_dir).embeddings
+    es = scorable(e)  # unscorable vectors are kept, never banded or paired
     banded = banded_hyperplane_signature(
-        e.select("vec_id", "embedding"), n_bands=4, band_bits=4
+        es.select("vec_id", "embedding"), n_bands=4, band_bits=4
     )
-    v = e.select("vec_id", "label", _as_double("embedding").alias("e")).join(
+    v = es.select("vec_id", "label", _as_double("embedding").alias("e")).join(
         banded, "vec_id"
     )
     dup_ids = embedding_dup_ids(v, ["band_id", "band_val"], threshold=0.9)
@@ -448,10 +468,12 @@ def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_embedding_dedup",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-    -- NULL embeddings cannot be scored (and DuckDB's list_dot_product
-    -- errors on a NULL list): they never participate in pairs, mirroring
-    -- the NULL-dot drop on the Spark side.
-    nn AS (SELECT * FROM v WHERE e IS NOT NULL),
+    -- Unscorable embeddings (NULL / NaN / Inf — the oracle twin of
+    -- scorable()) never participate in pairs: DuckDB's list_dot_product
+    -- errors on a NULL list, and NaN >= threshold would count as a dup.
+    -- They are still counted in the per-label totals below (kept).
+    nn AS (SELECT * FROM v WHERE e IS NOT NULL
+           AND len(list_filter(e, x -> isnan(x) OR isinf(x))) = 0),
     dup_ids AS (
       SELECT DISTINCT b.vec_id
       FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -474,7 +496,9 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the duplicate-id set. At 100 TB the label block is an LSH/IVF bucket
     and the anti join shuffles 8-byte ids, not vectors."""
     e = Catalog(spark, sf_dir).embeddings
-    v = e.select(
+    # pairs form only between scorable vectors (see scorable()); the
+    # per-label totals below still count every row of the corpus.
+    v = scorable(e).select(
         "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
     )
     a, b = v.alias("a"), v.alias("b")
@@ -495,7 +519,7 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
-    flagged = v.join(
+    flagged = e.select("vec_id", "label").join(
         dup_ids.withColumn("is_dup", F.lit(1)), "vec_id", "left"
     )
     return flagged.groupBy("label").agg(

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
-from rws_data_ingester_spark.operators.similarity import cosine_topk
+from rws_data_ingester_spark.operators.similarity import cosine_topk, scorable
 from rws_data_ingester_spark.plans.registry import query
 
 
@@ -155,7 +155,10 @@ def simsearch_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     shortlist_n, k_final = 50, 5
-    e = Catalog(spark, sf_dir).embeddings
+    # unscorable vectors (NULL / NaN / Inf) are neither trained on,
+    # encoded, nor queried — np.array would go ragged on a NULL row and
+    # NaN poisons codebooks; see similarity.scorable().
+    e = scorable(Catalog(spark, sf_dir).embeddings)
     codebook = pq_train(e)
     codes = pq_encode(e, codebook)
 

@@ -108,15 +108,18 @@ _ZSCORE_SCHEMA = T.StructType(
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    bal = pdf["c_acctbal"].to_numpy()
-    sd = bal.std(ddof=1) if len(pdf) >= 2 else 0.0
+    # SQL aggregate semantics, mirrored exactly: AVG/STDDEV_SAMP skip
+    # NULLs (plain numpy .std() would poison the whole group with NaN),
+    # STDDEV_SAMP needs >= 2 non-null values, and a zero/undefined sd
+    # yields NULL z for every row (the oracle's nullif). A NULL balance
+    # row keeps NULL z via NaN -> NA in the Float64 extension array.
+    bal = pdf["c_acctbal"].to_numpy(dtype="float64", na_value=np.nan)
+    valid = bal[~np.isnan(bal)]
+    sd = valid.std(ddof=1) if len(valid) >= 2 else 0.0
     if sd == 0.0 or np.isnan(sd):
-        # STDDEV_SAMP of one row is NULL in SQL, and a constant group's
-        # sd=0 divide is NaN in numpy but inf/NaN in IEEE SQL engines —
-        # emit NULL for both degenerate shapes (oracle uses nullif).
         z_out = pd.array([pd.NA] * len(bal), dtype="Float64")
     else:
-        z_out = np.round((bal - bal.mean()) / sd, 6)
+        z_out = pd.array(np.round((bal - valid.mean()) / sd, 6), dtype="Float64")
     return pd.DataFrame(
         {
             "c_custkey": pdf["c_custkey"],

@@ -228,18 +228,37 @@ def agg_approx_percentile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_min_max_by",
     oracle="""
+    -- max_by/min_by pick an ARBITRARY row on price ties, so the ordering
+    -- key is the (price, orderkey) pair — tie-free, hence deterministic
+    -- and engine-agnostic. DuckDB's max_by rejects STRUCT ordering keys,
+    -- so the oracle spells the identical semantics as max-of-struct +
+    -- field extract (lexicographic struct comparison in both engines);
+    -- the CASE keeps SQL's skip-NULL-ordering max_by contract.
     SELECT o_custkey,
-           MAX_BY(o_orderkey, o_totalprice)::BIGINT AS biggest_order,
-           MIN_BY(o_orderkey, o_totalprice)::BIGINT AS smallest_order,
+           (MAX(CASE WHEN o_totalprice IS NOT NULL
+                     THEN {'v': o_totalprice, 'k': o_orderkey} END)).k::BIGINT
+             AS biggest_order,
+           (MIN(CASE WHEN o_totalprice IS NOT NULL
+                     THEN {'v': o_totalprice, 'k': o_orderkey} END)).k::BIGINT
+             AS smallest_order,
            ROUND(MAX(o_totalprice), 2) AS max_price
     FROM orders GROUP BY o_custkey
     """,
 )
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by with a deterministic tie-break: the ordering key is
+    struct(o_totalprice, o_orderkey) — unique, so ties on price resolve
+    to the larger (max) / smaller (min) orderkey on every engine and
+    every partition order. NULL prices are skipped (the when() yields a
+    NULL ordering value, which min_by/max_by ignore per SQL semantics)."""
     o = Catalog(spark, sf_dir).orders
+    ordk = F.when(
+        F.col("o_totalprice").isNotNull(),
+        F.struct(F.col("o_totalprice").alias("v"), F.col("o_orderkey").alias("k")),
+    )
     return o.groupBy("o_custkey").agg(
-        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
-        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max_by("o_orderkey", ordk).alias("biggest_order"),
+        F.min_by("o_orderkey", ordk).alias("smallest_order"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
 

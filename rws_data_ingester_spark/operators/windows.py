@@ -185,9 +185,11 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_share_of_group",
     oracle="""
+    -- + 0.0 collapses IEEE negative zero (0 / negative-sum): Spark's
+    -- ROUND drops the sign through BigDecimal, DuckDB's keeps it.
     SELECT l_orderkey, l_linenumber,
            ROUND(l_extendedprice / nullif(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey), 0),
-                 6) AS price_share
+                 6) + 0.0 AS price_share
     FROM lineitem
     """,
 )
@@ -199,8 +201,12 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice") / F.nullif(F.sum("l_extendedprice").over(w), F.lit(0.0)), 6
+        (
+            F.round(
+                F.col("l_extendedprice") / F.nullif(F.sum("l_extendedprice").over(w), F.lit(0.0)),
+                6,
+            )
+            + 0.0
         ).alias("price_share"),
     )
 

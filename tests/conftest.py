@@ -51,22 +51,26 @@ def duck():
     con.close()
 
 
-def _norm(v):
+def _norm(v, sig: int = 9):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / float noise the same way on both sides
-        return f"{v:.9g}"
+        # collapse float noise the same way on both sides
+        return f"{v:.{sig}g}"
     return v
 
 
-def rows_to_multiset(cols: list[str], rows: list[tuple]) -> dict:
+def rows_to_multiset(cols: list[str], rows: list[tuple], sig: int = 9) -> dict:
     """Order-insensitive canonical form: sort columns by name, then build
-    a multiset of row tuples — mirrors the driver's value-hash."""
+    a multiset of row tuples — mirrors the driver's value-hash. `sig` is
+    the float canonicalization width: 9 significant digits mirrors the
+    driver; the randomized fuzz compares at 6 so cross-engine aggregate
+    summation-order ulp (var_samp & friends partial-agg in a different
+    order on each engine) doesn't read as a semantic divergence."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out: dict = {}
     for row in rows:
-        key = tuple(_norm(row[i]) for i in order)
+        key = tuple(_norm(row[i], sig) for i in order)
         out[key] = out.get(key, 0) + 1
     return out
 

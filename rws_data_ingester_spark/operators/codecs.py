@@ -789,7 +789,10 @@ def adpcm_encode(samples: np.ndarray) -> bytes:
     accumulates beyond one step."""
     s = np.asarray(samples, dtype=np.int64)
     if len(s) == 0:
-        return struct.pack("<hBB", 0, 0, 0)
+        # pad-flag 2 marks an EMPTY stream: a bare (0,0,0) header is
+        # indistinguishable from a single zero sample (the seed is
+        # emitted unconditionally on decode)
+        return struct.pack("<hBB", 0, 0, 2)
     predictor = int(s[0])
     index = 0
     nibbles = bytearray()
@@ -828,6 +831,8 @@ def adpcm_decode(payload: bytes) -> np.ndarray:
     """Decode IMA ADPCM produced by :func:`adpcm_encode` back to int16:
     emit the seed sample, then one reconstructed sample per nibble."""
     seed, index, pad = struct.unpack_from("<hBB", payload, 0)
+    if pad == 2:  # empty-stream marker (see adpcm_encode)
+        return np.asarray([], dtype=np.int16)
     predictor = int(seed)
     out = [predictor]
     for b in payload[4:]:

@@ -310,7 +310,7 @@ def test_adpcm_odd_length_and_edge_cases():
     assert len(adpcm_decode(adpcm_encode(s))) == 1023
     one = np.array([123], dtype=np.int16)
     assert adpcm_decode(adpcm_encode(one)).tolist() == [123]  # seed is verbatim
-    assert len(adpcm_decode(adpcm_encode(np.array([], dtype=np.int16)))) == 1
+    assert len(adpcm_decode(adpcm_encode(np.array([], dtype=np.int16)))) == 0
 
 
 # --------------------------------------------------------------------------

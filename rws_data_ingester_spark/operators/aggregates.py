@@ -359,7 +359,7 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation,
            ROUND(rev, 2) AS revenue,
-           ROUND(rev / SUM(rev) OVER (), 6) AS share
+           ROUND(rev / nullif(SUM(rev) OVER (), 0), 6) AS share
     FROM per_nation
     """,
 )
@@ -381,7 +381,9 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_nation.crossJoin(F.broadcast(total)).select(
         "nation",
         F.round("rev", 2).alias("revenue"),
-        F.round(F.col("rev") / F.col("total"), 6).alias("share"),
+        # nullif: revenues can cancel to a zero total (ANSI divide errors,
+        # DuckDB emits inf) — NULL share on both engines
+        F.round(F.col("rev") / F.nullif(F.col("total"), F.lit(0.0)), 6).alias("share"),
     )
 
 

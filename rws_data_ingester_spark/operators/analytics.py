@@ -256,7 +256,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT ROUND(
              100.0 * SUM(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)) + 0.000001, 4) AS promo_pct
+             / nullif(SUM(l_extendedprice * (1 - l_discount)), 0) + 0.000001, 4) AS promo_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-06-01'
       AND l_shipdate <  TIMESTAMP '1997-09-01'
@@ -275,7 +275,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-            / F.sum(rev)
+            / F.nullif(F.sum(rev), F.lit(0.0))
             + 1e-6,
             4,
         ).alias("promo_pct")
@@ -458,9 +458,11 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN nation sn ON sn.n_nationkey = s_nationkey
       WHERE r_name = 'EUROPE'
     )
+    -- nullif: a year's volumes can cancel to exactly 0 (negative money),
+    -- where Spark's ANSI divide errors and DuckDB emits inf — NULL both.
     SELECT order_year,
            ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE 0 END)
-                 / SUM(vol) + 0.000001, 6) AS mkt_share
+                 / nullif(SUM(vol), 0) + 0.000001, 6) AS mkt_share
     FROM region_sales GROUP BY order_year
     """,
 )
@@ -491,7 +493,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol)
+                / F.nullif(F.sum(vol), F.lit(0.0))
                 + 1e-6,
                 6,
             ).alias("mkt_share")
@@ -721,9 +723,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q2_min_cost_supplier",
     oracle="""
+    -- nullif: unit cost is undefined for zero-quantity lines (Spark's
+    -- ANSI divide errors, DuckDB emits inf); NULL is skipped by MIN on
+    -- both engines, so such lines never price an offer.
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             MIN(l_extendedprice / l_quantity) AS unit_cost
+             MIN(l_extendedprice / nullif(l_quantity, 0)) AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey
     )
     SELECT s_acctbal, s_name, n_name, p_partkey,
@@ -753,7 +758,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     ps = (
         cat.lineitem.groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .agg(
+            F.min(
+                F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0.0))
+            ).alias("unit_cost")
+        )
     )
     best = ps.withColumn(
         "min_cost", F.min("unit_cost").over(W.partitionBy("l_partkey"))

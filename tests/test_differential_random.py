@@ -62,8 +62,13 @@ def _gen_warehouse(rng: np.random.RandomState):
         return None if rng.rand() < p_null else v
 
     def money():
-        pool = [None, 0.0, -123.45, 100.0, 100.0, 250.0,
-                round(float(rng.uniform(-500, 9000)), 2)]
+        # quarter grid (multiples of 0.25): binary-exact doubles, so sums
+        # and products are bit-identical across engines regardless of
+        # summation order. Off-grid decimals would let one-ulp sum
+        # differences straddle a ROUND(x, 2) boundary and read as a
+        # one-cent "divergence" that no query-level fix can remove.
+        pool = [None, 0.0, -123.25, 100.0, 100.0, 250.0,
+                float(rng.randint(-2000, 36000)) / 4.0]
         return pick(pool)
 
     def ts(base_day: int, span_days: int, boundary_p: float = 0.25) -> str:
@@ -139,8 +144,9 @@ def _gen_warehouse(rng: np.random.RandomState):
                 ln,
                 pick([None, 0.0, -5.0, float(rng.randint(1, 51))]),
                 money(),
-                pick([None, 0.0, 0.05, 0.1, 1.0]),
-                pick([0.0, 0.02, 0.08]),
+                # binary-exact rate grids (1/16) for the same reason as money()
+                pick([None, 0.0, 0.0625, 0.125, 1.0]),
+                pick([0.0, 0.0625, 0.25]),
                 pick(["A", "N", "R"]),
                 pick(["O", "F"]),
                 ts(1, 2400),
@@ -154,7 +160,7 @@ def _gen_warehouse(rng: np.random.RandomState):
                 ts(10592, 4) + f".{rng.randint(1000000):06d}",  # ~2024-01-01 + 4d
                 int(rng.randint(1, 15)),
                 pick(["click", "click", "purchase", "signup", "steady", "", "点击"]),
-                pick([None, 0.0, -1.5, round(float(rng.uniform(0, 100)), 2)]),
+                pick([None, 0.0, -1.5, float(rng.randint(0, 400)) / 4.0]),
                 pick(['{"k": 1}', "{not json", "[1,2]", "", None, '{"k": null}',
                       '{"other": 5}']),
             )

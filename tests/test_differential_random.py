@@ -256,6 +256,27 @@ def random_dir(spark, tmp_path_factory, request):
     return seed, str(d)
 
 
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_survives_random_warehouse(spark, random_dir, name):
+    """Rows-only queries (no oracle) must execute and be deterministic on
+    the random warehouse too. Runs on the FIRST seed only — the per-seed
+    cost is dominated by the heavyweight pipelines, and the oracle-paired
+    sweep above is the per-seed signal."""
+    seed, d = random_dir
+    if seed != SEEDS[0]:
+        pytest.skip("rows-only survival runs on the first seed only")
+    df = REGISTRY[name].fn(spark, d)
+    rows = df.collect()
+    assert df.columns, f"{name} seed={seed}: no columns"
+    rows2 = REGISTRY[name].fn(spark, d).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, rows2)), (
+        f"{name} seed={seed}: nondeterministic"
+    )
+
+
 @pytest.mark.parametrize("name", ORACLE_PAIRS)
 def test_oracle_pair_on_random_warehouse(spark, random_dir, name):
     seed, d = random_dir

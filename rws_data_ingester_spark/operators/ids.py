@@ -41,13 +41,18 @@ def assign_contiguous_ids(df: DataFrame, key: str, n_buckets: int = N_BUCKETS) -
     # boundary array is a deterministic literal in BOTH downstream
     # branches (a shared percentile_approx subplan could be evaluated
     # twice with different partial-merge orders).
-    bnds = df.agg(F.percentile_approx(key, probs).alias("b")).head()["b"]
-    bucket = F.size(
-        F.filter(
-            F.array(*[F.lit(b) for b in bnds]),
-            lambda b: b <= F.col(key),
+    # empty input → percentile_approx yields NULL → no boundaries: every
+    # row (none) lands in bucket 0 and the plan still builds
+    bnds = df.agg(F.percentile_approx(key, probs).alias("b")).head()["b"] or []
+    if bnds:
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bnds]),
+                lambda b: b <= F.col(key),
+            )
         )
-    )
+    else:
+        bucket = F.lit(0)
     bucketed = df.withColumn("_bucket", bucket)
     offsets = (
         bucketed.groupBy("_bucket")

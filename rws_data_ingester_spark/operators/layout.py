@@ -26,6 +26,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.plans.registry import query
@@ -91,7 +92,11 @@ def write_zordered(
 
 
 def _file_skip_audit(
-    spark: SparkSession, path: str, layout: str, dims: tuple[str, str]
+    spark: SparkSession,
+    path: str,
+    layout: str,
+    dims: tuple[str, str],
+    schema=None,
 ) -> DataFrame:
     """Per-file min/max via one input_file_name() agg, then per-dimension
     candidate counts for a 10%-of-range band predicate centered at the 25%
@@ -99,7 +104,10 @@ def _file_skip_audit(
     Off-center on purpose: a band centered exactly mid-range straddles the
     z-curve's top bucket bit for that dimension, so no file could ever be
     skipped — the one probe position that defeats the layout."""
-    read = spark.read.parquet(path).select(
+    # explicit schema (when given): an empty write leaves no files, and
+    # schema inference over a fileless directory fails
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    read = reader.parquet(path).select(
         F.input_file_name().alias("f"),
         *[F.col(d).cast("double").alias(d) for d in dims],
     )
@@ -163,8 +171,15 @@ def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_zordered(li, zo, "ship_day", "l_partkey")
     dims = ("ship_day", "l_partkey")
-    return _file_skip_audit(spark, lin, "linear", dims).unionByName(
-        _file_skip_audit(spark, zo, "zorder", dims)
+    # base columns + the long bucket partition column each layout adds
+    lin_schema = T.StructType(
+        li.schema.fields + [T.StructField("_lbucket", T.LongType())]
+    )
+    zo_schema = T.StructType(
+        li.schema.fields + [T.StructField("_zbucket", T.LongType())]
+    )
+    return _file_skip_audit(spark, lin, "linear", dims, lin_schema).unionByName(
+        _file_skip_audit(spark, zo, "zorder", dims, zo_schema)
     )
 
 

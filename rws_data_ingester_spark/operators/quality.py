@@ -280,10 +280,28 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=256)
     feats = tf.transform(base)
+    if feats.isEmpty():
+        # empty corpus (e.g. an empty day partition): nothing to fit —
+        # LBFGS' summarizer rejects zero rows; the audit is simply empty
+        return spark.createDataFrame([], "lang string, n_pass long, n_fail long")
     lr = LogisticRegression(maxIter=10, regParam=0.01, featuresCol="features", labelCol="label")
     model = lr.fit(feats)
-    scored = model.transform(feats)
-    passed = F.col("prediction") == 1.0
+    # Score via the coefficient vector as Catalyst literals rather than
+    # model.transform: the transform UDF serializes the MODEL into the
+    # task closure, and a fitted model's training summary pins the
+    # SparkSession (whose ObservationManager is not serializable once any
+    # Observation has registered — observed() pipelines trip it). The
+    # margin sign IS the 0.5-probability decision, pure codegen.
+    from pyspark.ml.functions import vector_to_array
+
+    w = [float(x) for x in model.coefficients.toArray()]
+    b = float(model.intercept)
+    wlit = F.array(*[F.lit(x) for x in w])
+    margin = F.lit(b) + F.expr(
+        "aggregate(zip_with(fx, wx, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    scored = feats.withColumn("fx", vector_to_array("features")).withColumn("wx", wlit)
+    passed = margin > 0.0
     return scored.groupBy("lang").agg(
         F.count(F.when(passed, 1)).alias("n_pass"),
         F.count(F.when(~passed, 1)).alias("n_fail"),

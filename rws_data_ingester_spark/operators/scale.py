@@ -84,7 +84,15 @@ def observed(df: DataFrame, name: str, **metrics: F.Column):
     (df, Observation). Metrics are computed DURING the next action on the
     plan — zero extra passes over the data, which is the only affordable
     way to get row-count/quality counters out of a 100 TB pipeline stage.
-    Read them after the action via ``obs.get``."""
+    Read them after the action via ``obs.get``.
+
+    Session-level landmine (Spark 4.1): once ANY Observation exists, the
+    session's ObservationManager is live and NOT java-serializable — and
+    MLlib model.transform() serializes the fitted model (whose training
+    summary pins the SparkSession) into its prediction-UDF closure, so
+    every later model.transform in the session throws Task-not-
+    serializable. Score models via coefficient literals instead (see
+    quality.pipeline_quality_classifier)."""
     from pyspark.sql import Observation
 
     obs = Observation(name)

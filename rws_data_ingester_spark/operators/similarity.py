@@ -289,11 +289,18 @@ def ivf_index(
     vecs = scorable(emb).select(
         "vec_id", array_to_vector(_as_double("embedding")).alias("features")
     )
+    spark = emb.sparkSession
+    if vecs.isEmpty():
+        # empty/unscorable corpus: an index over nothing (KMeans.fit
+        # rejects zero rows) — empty assignments and centroid table
+        return (
+            spark.createDataFrame([], "vec_id long, centroid_id int"),
+            spark.createDataFrame([], "centroid_id int, centroid array<double>"),
+        )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(vecs)
     assignments = model.transform(vecs).select(
         "vec_id", F.col("prediction").cast("int").alias("centroid_id")
     )
-    spark = emb.sparkSession
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "centroid_id int, centroid array<double>",
@@ -362,6 +369,12 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
     import pandas as pd
 
     qrows = scorable(queries).select("vec_id", "embedding").collect()
+    if not qrows:
+        # no scorable queries (empty partition replay): empty result,
+        # same schema — np.linalg.norm would choke on a 0-d matrix
+        return queries.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank long"
+        )
     qids = np.array([r["vec_id"] for r in qrows])
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qlen = np.linalg.norm(qmat, axis=1, keepdims=True)
@@ -374,6 +387,8 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
     def score(batches):
         ids, qn = bq.value
         for pdf in batches:
+            if len(pdf) == 0:  # filtered-to-empty Arrow batch
+                continue
             cmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             clen = np.linalg.norm(cmat, axis=1, keepdims=True)
             cn = cmat / np.maximum(clen, 1e-12)

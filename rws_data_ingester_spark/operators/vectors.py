@@ -96,6 +96,8 @@ def pq_train(
     # ordered limit (TakeOrderedAndProject) so the training sample — and
     # therefore the codebook — is deterministic at any corpus size
     rows = emb.select("vec_id", "embedding").orderBy("vec_id").limit(sample_n).collect()
+    if not rows:
+        return None  # empty corpus: no codebook to train (callers short-circuit)
     x = np.array([r["embedding"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dsub = x.shape[1] // m
@@ -121,6 +123,8 @@ def pq_encode(emb: DataFrame, codebook: np.ndarray) -> DataFrame:
         cb = bcb.value  # (m, k, dsub)
         m, _, dsub = cb.shape
         for pdf in batches:
+            if len(pdf) == 0:  # filtered-to-empty Arrow batch
+                continue
             x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
             codes = np.empty((len(x), m), dtype=np.int32)
@@ -160,9 +164,17 @@ def simsearch_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NaN poisons codebooks; see similarity.scorable().
     e = scorable(Catalog(spark, sf_dir).embeddings)
     codebook = pq_train(e)
+    qrows = (
+        e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+        if codebook is not None
+        else []
+    )
+    if not qrows:
+        # empty/unscorable corpus or no queries: empty result, same schema
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine_sim double, rank long"
+        )
     codes = pq_encode(e, codebook)
-
-    qrows = e.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
     qids = np.array([r["vec_id"] for r in qrows])
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
@@ -183,6 +195,8 @@ def simsearch_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def adc(batches):
         ids, tables = blut.value
         for pdf in batches:
+            if len(pdf) == 0:  # filtered-to-empty Arrow batch
+                continue
             c = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
             # dist[q, n] = sum_j tables[q, j, c[n, j]]
             d = np.zeros((len(ids), len(c)))

@@ -79,8 +79,11 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     out = tempfile.mkdtemp(prefix="rws_part_")
     write_partitioned_parquet(o, out, ["o_orderpriority"])
+    # explicit schema: an EMPTY source writes no files, and schema
+    # inference over a fileless directory fails — the writer's schema is
+    # the read contract either way
     return (
-        spark.read.parquet(out)
+        spark.read.schema(o.schema).parquet(out)
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("total_price"))
     )
@@ -145,11 +148,15 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "sink_train_shards",
     oracle="""
+    -- n_rows = 0 (empty corpus, zero shard files): the Spark side's
+    -- SUM/MAX/MIN over zero shards are NULL, so the closed form defines
+    -- the same — 0 shards with NULL row stats.
     WITH n AS (SELECT COUNT(*) AS n_rows FROM documents)
     SELECT CAST(CEIL(n_rows / 100.0) AS BIGINT) AS n_shards,
-           n_rows::BIGINT AS n_rows,
-           LEAST(n_rows, 100)::BIGINT AS max_shard_rows,
-           (n_rows - 100 * (CEIL(n_rows / 100.0) - 1))::BIGINT AS min_shard_rows
+           CASE WHEN n_rows > 0 THEN n_rows END::BIGINT AS n_rows,
+           CASE WHEN n_rows > 0 THEN LEAST(n_rows, 100) END::BIGINT AS max_shard_rows,
+           CASE WHEN n_rows > 0
+                THEN n_rows - 100 * (CEIL(n_rows / 100.0) - 1) END::BIGINT AS min_shard_rows
     FROM n
     """,
 )
@@ -176,7 +183,9 @@ def sink_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     per_shard = (
-        spark.read.parquet(out)
+        # explicit schema: an empty corpus writes no shard files, and
+        # schema inference over a fileless directory fails
+        spark.read.schema(d.schema).parquet(out)
         .groupBy(F.input_file_name().alias("shard"))
         .agg(F.count("*").alias("rows"))
     )

@@ -128,7 +128,19 @@ def test_quality_classifier_learns_weak_labels(spark):
     model = LogisticRegression(
         maxIter=10, regParam=0.01, featuresCol="features", labelCol="label"
     ).fit(feats)
-    scored = model.transform(feats)
+    # score via coefficient literals, NOT model.transform: the transform
+    # UDF serializes the model (and its summary's SparkSession) into the
+    # task closure — non-serializable once any Observation exists in the
+    # session. Same closure-free route as pipeline_quality_classifier.
+    from pyspark.ml.functions import vector_to_array
+
+    wlit = F.array(*[F.lit(float(x)) for x in model.coefficients.toArray()])
+    margin = F.lit(float(model.intercept)) + F.expr(
+        "aggregate(zip_with(fx, wx, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    scored = feats.withColumn("fx", vector_to_array("features")).withColumn(
+        "wx", wlit
+    ).withColumn("prediction", (margin > 0.0).cast("double"))
     acc = scored.filter(F.col("prediction") == F.col("label")).count() / scored.count()
     assert acc >= 0.7, f"classifier should learn its own weak labels, acc={acc}"
 

@@ -290,14 +290,22 @@ def ivf_index(
         "vec_id", array_to_vector(_as_double("embedding")).alias("features")
     )
     spark = emb.sparkSession
-    if vecs.isEmpty():
-        # empty/unscorable corpus: an index over nothing (KMeans.fit
-        # rejects zero rows) — empty assignments and centroid table
-        return (
-            spark.createDataFrame([], "vec_id long, centroid_id int"),
-            spark.createDataFrame([], "centroid_id int, centroid array<double>"),
+    # One count pass bounds k: MLlib's k-means|| aggregator throws
+    # ArrayIndexOutOfBounds when the corpus has fewer rows than k, and
+    # fit() rejects zero rows outright — tiny/empty partitions are normal
+    # at the edges of a 100 TB table.
+    n = vecs.count()
+    if n < 2:
+        # 0 or 1 scorable vectors: KMeans needs k >= 2, so the index is
+        # trivial — everything (nothing, or the lone vector) is cell 0.
+        assignments = vecs.select("vec_id", F.lit(0).cast("int").alias("centroid_id"))
+        lone = scorable(emb).select(_as_double("embedding").alias("e")).head()
+        cents = spark.createDataFrame(
+            [(0, lone["e"])] if lone else [],
+            "centroid_id int, centroid array<double>",
         )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(vecs)
+        return assignments, cents
+    model = KMeans(k=min(n_centroids, n), seed=seed, maxIter=max_iter).fit(vecs)
     assignments = model.transform(vecs).select(
         "vec_id", F.col("prediction").cast("int").alias("centroid_id")
     )

@@ -102,3 +102,74 @@ def test_rows_only_query_survives_empty_warehouse(spark, empty_dir, name):
     rows = df.collect()
     assert df.columns, f"{name}: no columns"
     assert rows is not None
+
+
+# ---------------------------------------------------------------------------
+# Minimal-cardinality warehouse: ONE row per table (two customers so one
+# join can hit). Exercises the degenerate-group surface between empty and
+# normal: stddev/variance of a single value (NULL), windows over one row,
+# lag/lead with no neighbor, a lone session, k-means with n << k,
+# single-shingle minhash — every "n-1" denominator and "previous row"
+# assumption.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def tiny_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("tiny_wh")
+    rows = {
+        "region": [(0, "EUROPE")],
+        "nation": [(0, "NATION_0", 0)],
+        "customer": [
+            (1, "Customer#1", 0, 100.0, "BUILDING"),
+            (2, "Customer#2", 0, -5.25, "AUTOMOBILE"),
+        ],
+        "supplier": [(1, "Supplier#1", 0, 50.0)],
+        "part": [(1, "part one", "Brand#1", "PROMO", 11, 75.0)],
+        "orders": [(100, 1, "O", 250.0, "1996-06-01 12:00:00", "1-URGENT")],
+        "lineitem": [
+            (100, 1, 1, 1, 10.0, 250.0, 0.0625, 0.0, "N", "O", "1996-06-05 00:00:00")
+        ],
+        "events": [(0, "2024-01-01 10:00:00", 1, "purchase", 25.0, '{"k": 1}')],
+        "documents": [(0, "the quick brown fox jumps over the lazy dog", "en", "web", 43)],
+        "embeddings": [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0)],
+    }
+    ts_cols = {"orders": "o_orderdate", "lineitem": "l_shipdate", "events": "ts"}
+    for t, schema in _SCHEMAS.items():
+        s = schema
+        if t in ts_cols:
+            s = s.replace(f"{ts_cols[t]} timestamp", f"{ts_cols[t]} string")
+        df = spark.createDataFrame(rows[t], s)
+        if t in ts_cols:
+            df = df.withColumn(ts_cols[t], F.col(ts_cols[t]).cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ORACLE_PAIRS + ["agg_rollup", "agg_cube", "agg_grouping_id"])
+def test_oracle_pair_on_tiny_warehouse(spark, tiny_dir, name):
+    q = REGISTRY[name]
+    sdf = q.fn(spark, tiny_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tiny_dir}/{t}.parquet/*.parquet')"
+        )
+    res = con.execute(q.oracle)
+    dcols = [x[0] for x in res.description]
+    drows = [tuple(r) for r in res.fetchall()]
+
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sm, dm = rows_to_multiset(scols, srows), rows_to_multiset(dcols, drows)
+    assert sm == dm, f"{name}: value mismatch on tiny warehouse: {sm} vs {dm}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_survives_tiny_warehouse(spark, tiny_dir, name):
+    df = REGISTRY[name].fn(spark, tiny_dir)
+    rows = df.collect()
+    assert df.columns, f"{name}: no columns"
+    assert rows is not None

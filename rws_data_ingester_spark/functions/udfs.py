@@ -293,8 +293,11 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_uid.append(grp["user_id"].to_numpy().astype("int64"))
             out_pid.append(grp["event_id"].to_numpy().astype("int64"))
             out_n.append((hi_idx - lo_idx).astype("int64"))
+            # nansum = SQL COALESCE(SUM(value), 0): NULL click values are
+            # skipped, and an all-NULL window sums to 0 — a plain .sum()
+            # would poison the whole window with NaN
             out_val.extend(
-                round(float(cval[l:h].sum()), 4) if h > l else 0.0
+                round(float(np.nansum(cval[l:h])), 4) if h > l else 0.0
                 for l, h in zip(lo_idx, hi_idx)
             )
         return pd.DataFrame(

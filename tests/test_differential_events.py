@@ -76,6 +76,11 @@ ADVERSARIAL_EVENTS = [
     (34, "2024-01-06 10:00:00.000000", 12, "click", 1.0, '{"k": 34}'),
     (35, "2024-01-06 10:59:59.000000", 12, "purchase", 75.0, '{"k": 35}'),
     (36, "2024-01-06 11:00:01.000000", 12, "purchase", 85.0, '{"k": 36}'),
+    # NULL-valued click inside a purchase's attribution window: SQL
+    # SUM skips the NULL (COALESCE → 0) — a naive numpy slice-sum
+    # would propagate NaN (caught by the random fuzz, seed 89)
+    (37, "2024-01-06 12:00:00.000000", 13, "click", None, '{"k": 37}'),
+    (38, "2024-01-06 12:10:00.000000", 13, "purchase", 20.0, '{"k": 38}'),
 ]
 
 OTHER_TABLES = [t for t in TABLES if t != "events"]

@@ -235,11 +235,17 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unchanged (a sorted click array per user)."""
     ev = Catalog(spark, sf_dir).events
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(64)).alias("bucket")
+    # timestamps cross into pandas as int64 epoch-MICROS, not as a
+    # timestamp column: Arrow casts timestamp[us] -> timestamp[ns] for
+    # pandas and raises ArrowInvalid for anything past 2262-04-11 — a
+    # corrupt far-future clock in one row would kill the whole job. An
+    # int64 has no such window and searchsorted semantics are identical.
+    ts_us = F.unix_micros("ts").alias("ts")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        bucket, "user_id", "ts", "value"
+        bucket, "user_id", ts_us, "value"
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        bucket, "user_id", "event_id", "ts"
+        bucket, "user_id", "event_id", ts_us
     )
 
     out_schema = T.StructType(
@@ -255,13 +261,15 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         names = [f.name for f in out_schema.fields]
         if purch_pdf.empty:
             return pd.DataFrame(columns=names)
-        if "ts" not in purch_pdf.columns:
+        if not {"ts", "user_id", "event_id"}.issubset(purch_pdf.columns):
             # Catalyst prunes the cogroup's input value columns when the
             # caller observes no output values (a bare count()), leaving
-            # only the grouping key. Row COUNT is then the only
+            # only the grouping key (computed aliases like the epoch-micros
+            # `ts` may survive pruning while plain attributes are cut, so
+            # check every required column). Row COUNT is then the only
             # observable — one output row per purchase — so placeholder
             # values are legal. Without this branch a count() on this
-            # query crashes the Python worker with KeyError('ts').
+            # query crashes the Python worker with a KeyError.
             n = len(purch_pdf)
             return pd.DataFrame(
                 {
@@ -277,18 +285,24 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per purchase — O((c+p) log c), no iterrows (which alone cost
         # ~10x here). The window sum is a direct slice sum so the float
         # accumulation matches a plain per-group SUM.
-        has_clicks = not clicks_pdf.empty and "ts" in clicks_pdf.columns
+        has_clicks = not clicks_pdf.empty and {"ts", "user_id", "value"}.issubset(
+            clicks_pdf.columns
+        )
         by_user: dict = {}
         if has_clicks:
             cs = clicks_pdf.sort_values(["user_id", "ts"], kind="stable")
             for uid, grp in cs.groupby("user_id", sort=False):
-                by_user[uid] = (grp["ts"].to_numpy(), grp["value"].to_numpy())
-        empty_ts = np.array([], "datetime64[us]")
+                by_user[uid] = (
+                    grp["ts"].to_numpy(dtype="int64"),
+                    grp["value"].to_numpy(),
+                )
+        empty_ts = np.array([], "int64")
+        window_us = 30 * 60 * 1_000_000  # 30 minutes in epoch-micros
         out_uid, out_pid, out_n, out_val = [], [], [], []
         for uid, grp in purch_pdf.groupby("user_id", sort=False):
             cts, cval = by_user.get(uid, (empty_ts, np.array([])))
-            pts = grp["ts"].to_numpy()
-            lo_idx = np.searchsorted(cts, pts - np.timedelta64(30, "m"), side="right")
+            pts = grp["ts"].to_numpy(dtype="int64")
+            lo_idx = np.searchsorted(cts, pts - window_us, side="right")
             hi_idx = np.searchsorted(cts, pts, side="right")
             out_uid.append(grp["user_id"].to_numpy().astype("int64"))
             out_pid.append(grp["event_id"].to_numpy().astype("int64"))

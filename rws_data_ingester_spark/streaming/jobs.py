@@ -253,7 +253,14 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
+        # Project away `ts` after the watermark node: the kernel only reads
+        # `value`, and a timestamp column crossing Arrow→pandas is cast to
+        # datetime64[ns], so one corrupt far-future clock (> 2262-04-11)
+        # would kill the whole query. The EventTimeWatermark node stays
+        # upstream of the projection, so late-data semantics are unchanged,
+        # and the Arrow transfer per group is narrower.
         ev.withWatermark("ts", "1 day")
+        .select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -336,7 +343,11 @@ def stateful_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, sf_dir)
     return (
+        # Same `ts` projection as the applyInPandasWithState form: keep the
+        # watermark node, keep pandas' datetime64[ns] range limit out of
+        # the Arrow path.
         ev.withWatermark("ts", "1 day")
+        .select("user_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
             RunningTotals(),

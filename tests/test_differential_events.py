@@ -150,3 +150,60 @@ def test_events_only_oracle_pair_on_adversarial_log(spark, adversarial_dir, name
             f"spark-only sample {list(only_s.items())[:3]}; "
             f"duck-only sample {list(only_d.items())[:3]}"
         )
+
+
+@pytest.fixture(scope="module")
+def far_future_dir(spark, tmp_path_factory):
+    """Events log with a corrupt far-future clock (year 2400 — past
+    pandas' datetime64[ns] ceiling of 2262-04-11). Any operator that
+    ships a raw timestamp column through Arrow→pandas dies on this row
+    with ArrowInvalid; the pandas-path operators therefore carry
+    timestamps as int64 epoch-micros (or project `ts` away) instead."""
+    d = tmp_path_factory.mktemp("far_future_events")
+    rows = [
+        # clean 30-min attribution pair for user 1
+        (0, "2024-01-01 10:00:00.000000", 1, "click", 5.0, "{}"),
+        (1, "2024-01-01 10:10:00.000000", 1, "purchase", 50.0, "{}"),
+        # the corrupt clock: a click in year 2400 for user 2
+        (2, "2400-01-01 00:00:00.000000", 2, "click", 1.0, "{}"),
+        # and a purchase whose window must NOT include the 2400 click
+        (3, "2024-01-01 11:00:00.000000", 2, "purchase", 9.0, "{}"),
+        # purchase in 2400: its window reaches the 2400 click
+        (4, "2400-01-01 00:05:00.000000", 2, "purchase", 7.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    df.repartition(2).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+def test_cogroup_attribution_survives_far_future_clock(spark, far_future_dir):
+    out = REGISTRY["cogroup_click_attribution"].fn(spark, far_future_dir)
+    got = {
+        r["purchase_id"]: (r["n_prior_clicks"], r["click_value"])
+        for r in out.collect()
+    }
+    assert got[1] == (1, 5.0)  # clean pair attributed
+    assert got[3] == (0, 0.0)  # 2400 click NOT in a 2024 window
+    assert got[4] == (1, 1.0)  # 2400 purchase sees the 2400 click
+
+
+def test_stateful_stream_survives_far_future_clock(spark, far_future_dir):
+    from rws_data_ingester_spark.streaming import jobs
+
+    out = jobs.run_to_memory(
+        jobs.stateful_running_totals(spark, far_future_dir), output_mode="update"
+    )
+    got = {r["user_id"]: (r["total_value"], r["n_events"]) for r in out.collect()}
+    assert got[1] == (55.0, 2)
+    assert got[2] == (17.0, 3)

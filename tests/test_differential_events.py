@@ -170,6 +170,9 @@ def far_future_dir(spark, tmp_path_factory):
         (3, "2024-01-01 11:00:00.000000", 2, "purchase", 9.0, "{}"),
         # purchase in 2400: its window reaches the 2400 click
         (4, "2400-01-01 00:05:00.000000", 2, "purchase", 7.0, "{}"),
+        # pre-epoch clock (negative epoch-micros): a 19th-century pair
+        (5, "1899-12-31 23:00:00.000000", 3, "click", 2.0, "{}"),
+        (6, "1899-12-31 23:10:00.000000", 3, "purchase", 30.0, "{}"),
     ]
     df = spark.createDataFrame(
         rows,
@@ -196,6 +199,7 @@ def test_cogroup_attribution_survives_far_future_clock(spark, far_future_dir):
     assert got[1] == (1, 5.0)  # clean pair attributed
     assert got[3] == (0, 0.0)  # 2400 click NOT in a 2024 window
     assert got[4] == (1, 1.0)  # 2400 purchase sees the 2400 click
+    assert got[6] == (1, 2.0)  # pre-epoch (negative micros) pair attributed
 
 
 def test_stateful_stream_survives_far_future_clock(spark, far_future_dir):
@@ -207,3 +211,4 @@ def test_stateful_stream_survives_far_future_clock(spark, far_future_dir):
     got = {r["user_id"]: (r["total_value"], r["n_events"]) for r in out.collect()}
     assert got[1] == (55.0, 2)
     assert got[2] == (17.0, 3)
+    assert got[3] == (32.0, 2)

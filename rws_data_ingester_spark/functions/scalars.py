@@ -405,11 +405,12 @@ def scalar_collection_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents WHERE doc_id < 50
     ),
-    idx AS (
-      SELECT doc_id, toks, UNNEST(generate_series(1, len(toks))) AS i FROM d
-    ),
     pos AS (
-      SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] AS token FROM idx
+      -- zipped parallel UNNESTs: linear, vs quadratic list-carry
+      SELECT doc_id,
+             UNNEST(generate_series(0, len(toks) - 1))::BIGINT AS pos,
+             UNNEST(toks) AS token
+      FROM d
     )
     SELECT doc_id, token, COUNT(*)::BIGINT AS n, MIN(pos)::BIGINT AS first_pos
     FROM pos GROUP BY doc_id, token

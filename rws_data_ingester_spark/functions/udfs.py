@@ -159,15 +159,22 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "udtf_bigrams",
     oracle="""
+    -- Linear form: zipped parallel UNNESTs + LEAD; indexing the carried
+    -- list per row is accidentally quadratic on multi-MB documents.
     WITH d AS (
       SELECT doc_id, string_split(text, ' ') AS toks
       FROM documents WHERE doc_id < 20
     ),
-    i AS (
-      SELECT doc_id, toks, UNNEST(generate_series(1, len(toks) - 1)) AS i FROM d
+    tok AS (
+      SELECT doc_id,
+             UNNEST(generate_series(1, len(toks))) AS i,
+             UNNEST(toks) AS tok
+      FROM d
     )
-    SELECT doc_id, (i - 1)::BIGINT AS pos, toks[i] || ' ' || toks[i + 1] AS bigram
-    FROM i
+    SELECT doc_id, (i - 1)::BIGINT AS pos,
+           tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS bigram
+    FROM tok
+    QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY i) IS NOT NULL
     """,
 )
 def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -415,14 +415,21 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_paragraphs",
     oracle="""
+    -- Linear form: zipped parallel UNNESTs emit (pos, tok) once and the
+    -- 20-token chunks re-assemble by pos // 20; slicing the carried list
+    -- per chunk row is accidentally quadratic in DuckDB and melts on
+    -- multi-MB documents.
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok AS (
+      SELECT doc_id,
+             UNNEST(generate_series(0, len(t) - 1)) AS pos,
+             UNNEST(t) AS tok
+      FROM toks
     ), chunks AS (
-      SELECT doc_id, g.k AS chunk_idx,
-             array_to_string(t[g.k*20+1 : (g.k+1)*20], ' ') AS chunk_text
-      FROM toks, LATERAL (
-        SELECT UNNEST(generate_series(0, CAST(ceil(len(t)/20.0) AS INT) - 1)) AS k
-      ) g
+      SELECT doc_id, (pos // 20)::BIGINT AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+      FROM tok GROUP BY doc_id, (pos // 20)
     ), ranked AS (
       SELECT doc_id, chunk_idx, chunk_text,
              ROW_NUMBER() OVER (

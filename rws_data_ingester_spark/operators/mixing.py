@@ -113,9 +113,20 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen). Order matters: IPs before phones, since
     '555-0199' must not eat dotted quads."""
     d = Catalog(spark, sf_dir).documents
-    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-    phone = r"\d{3}-\d{4}"
-    ip = r"\d+\.\d+\.\d+\.\d+"
+    # The unbounded-prefix patterns carry a negative lookbehind guard:
+    # java.util.regex restarts the greedy class consume at EVERY position
+    # of a long token, so the plain email pattern is O(n^2) on a 300 KB
+    # alphanumeric run with no '@' (one 10 MB minified-JS row would pin
+    # an executor core for hours at corpus scale). The guard makes every
+    # interior-of-run start fail in O(1); it provably never changes the
+    # match set, because any match whose previous char is in the class
+    # implies a longer match from the run start, which leftmost-first
+    # would have produced instead. The DuckDB oracle keeps the guardless
+    # pattern: RE2 has no lookbehind and is linear-time regardless —
+    # result identity is what the big-doc differential suite pins.
+    email = r"(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    phone = r"\d{3}-\d{4}"  # bounded quantifiers: linear, no guard needed
+    ip = r"(?<!\d)\d+\.\d+\.\d+\.\d+"
     aug = d.filter(F.col("doc_id") < 100).select(
         "doc_id",
         F.concat(
@@ -144,18 +155,26 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_contamination",
     oracle="""
+    -- Linear form: zipped parallel UNNESTs emit (i, tok) once and LEAD
+    -- assembles the 4-gram; carrying the token list through the UNNEST
+    -- and slicing per i is accidentally quadratic (the list is
+    -- materialized per gram row) and melts on multi-MB documents.
     WITH tok AS (
-      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ),
-    grams AS (
       SELECT doc_id,
-             array_to_string(toks[i : i + 3], ' ') AS gram
-      FROM (
-        SELECT doc_id, toks,
-               UNNEST(generate_series(1, len(toks) - 3)) AS i
-        FROM tok
-      )
+             UNNEST(generate_series(1, len(toks))) AS i,
+             UNNEST(toks) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
     ),
+    g AS (
+      SELECT doc_id,
+             concat_ws(' ', tok,
+                       lead(tok, 1) OVER w,
+                       lead(tok, 2) OVER w,
+                       lead(tok, 3) OVER w) AS gram,
+             lead(tok, 3) OVER w AS t3
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+    ),
+    grams AS (SELECT doc_id, gram FROM g WHERE t3 IS NOT NULL),
     bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 10),
     corpus AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id >= 10)
     SELECT c.doc_id, COUNT(*)::BIGINT AS n_hits

@@ -114,20 +114,34 @@ CHUNK_TOKS, CHUNK_STRIDE = 100, 80
 @query(
     "text_chunk_overlap",
     oracle=f"""
+    -- Linear form: zipped parallel UNNESTs emit (pos, tok) pairs once,
+    -- then each token fans out to the <=2 overlapping chunks that
+    -- contain it. The naive "carry the token list through a
+    -- generate_series UNNEST and slice per start" form is accidentally
+    -- quadratic (DuckDB materializes the full list per start row) and
+    -- melts on multi-MB documents.
     WITH t AS (
       SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ), s AS (
-      SELECT doc_id, toks,
-             unnest(generate_series(0, len(toks) - 1, {CHUNK_STRIDE})) AS start
+    ), tok AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len(toks) - 1)) AS pos,
+             unnest(toks) AS tok
       FROM t
+    ), cand AS (
+      SELECT doc_id, pos, tok,
+             unnest(generate_series(
+               GREATEST(CAST(ceil((pos - {CHUNK_TOKS} + 1) / {CHUNK_STRIDE}.0)
+                             AS BIGINT), 0),
+               pos // {CHUNK_STRIDE})) AS chunk_id
+      FROM tok
     )
     SELECT doc_id,
-           (start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
-           start::BIGINT AS start_tok,
-           len(toks[start + 1 : start + {CHUNK_TOKS}])::BIGINT AS n_chunk_toks,
-           array_to_string(toks[start + 1 : start + {CHUNK_TOKS}], ' ')
-             AS chunk_text
-    FROM s
+           chunk_id::BIGINT AS chunk_id,
+           (chunk_id * {CHUNK_STRIDE})::BIGINT AS start_tok,
+           COUNT(*)::BIGINT AS n_chunk_toks,
+           string_agg(tok, ' ' ORDER BY pos) AS chunk_text
+    FROM cand
+    GROUP BY doc_id, chunk_id
     """,
 )
 def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

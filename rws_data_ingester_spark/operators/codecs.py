@@ -32,6 +32,17 @@ import struct
 
 import numpy as np
 
+# Decompression-bomb guard: a corrupt or adversarial header can declare
+# dimensions up to 65535x65535 (JPEG SOF0) or 2^31 x 2^31 (PNG IHDR).
+# Allocating the decode planes for such a claim OOM-kills the executor
+# BEFORE any exception the PERMISSIVE quarantine could catch — at 100 TB
+# one crafted file in a 512 MB task must degrade to a quarantined row,
+# not a dead executor. Decoders therefore reject declared pixel counts
+# above this cap (64 Mpx ~ 8K x 8K, ~770 MB of float64 JPEG planes at
+# 4:2:0) with a ValueError, and the PNG inflate is length-bounded so a
+# kilobyte zlib bomb cannot expand to gigabytes first.
+MAX_DECODE_PIXELS = 64 * 1024 * 1024
+
 # --------------------------------------------------------------------------
 # JPEG constants (ITU-T T.81 Annex K — public spec tables)
 # --------------------------------------------------------------------------
@@ -529,6 +540,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qtables[tq] = tbl[UNZIGZAG]  # store natural order
         elif marker == 0xC0:  # SOF0 baseline
             _prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if h * w > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"declared {w}x{h} exceeds decode cap "
+                    f"({MAX_DECODE_PIXELS} px) — refusing bomb-sized allocation"
+                )
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
@@ -701,6 +717,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type, -1)
             if nch < 0:
                 raise ValueError(f"unsupported color type {color_type}")
+            if w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"declared {w}x{h} exceeds decode cap "
+                    f"({MAX_DECODE_PIXELS} px) — refusing bomb-sized allocation"
+                )
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -708,9 +729,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if w < 0 or not idat:
         raise ValueError("missing IHDR or IDAT")
-    raw = zlib.decompress(bytes(idat))
     stride = w * nch
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # Bounded inflate: decompress at most expected+1 bytes so a zlib bomb
+    # (kilobytes of IDAT inflating to gigabytes) is detected at the cap,
+    # never materialized. unused_data/unconsumed_tail non-empty or a
+    # too-long/short result all mean the stream disagrees with IHDR.
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or dec.unconsumed_tail or dec.decompress(b"", 1):
         raise ValueError("inflated size does not match dimensions")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)

@@ -16,7 +16,7 @@ import struct
 import numpy as np
 import pytest
 
-from rws_data_ingester_spark.operators import multimodal
+from rws_data_ingester_spark.operators import codecs, multimodal
 from rws_data_ingester_spark.operators.codecs import (
     AC_LUMA_BITS,
     AC_LUMA_VALS,
@@ -356,3 +356,99 @@ def test_adpcm_query_pins(spark):
         assert r["pcm_bytes"] / r["adpcm_bytes"] > 3.5
         # sine at 0.5 FSD → RMS ≈ 0.5/sqrt(2); ADPCM noise is small
         assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.02
+
+
+# --------------------------------------------------------------------------
+# Decompression-bomb guards: corrupt/adversarial headers must degrade to a
+# prompt ValueError (quarantinable), never a multi-GB allocation that
+# OOM-kills the executor outside any except-clause's reach.
+# --------------------------------------------------------------------------
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct as _s
+    import zlib as _z
+
+    return (
+        _s.pack(">I", len(body))
+        + tag
+        + body
+        + _s.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _bomb_png(w: int, h: int, idat_raw: bytes) -> bytes:
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(idat_raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_rejects_bomb_dimensions_promptly():
+    import time
+
+    payload = _bomb_png(50_000, 50_000, b"\x00" * 100)  # claims 7.5 GB
+    t0 = time.time()
+    with pytest.raises(ValueError, match="decode cap"):
+        codecs.decode_png(payload)
+    assert time.time() - t0 < 1.0
+
+
+def test_png_zlib_bomb_is_length_bounded():
+    import time
+
+    # header says 4x4 RGB (expected inflate 52 bytes) but the IDAT
+    # inflates to 64 MB — the bounded decompress must stop at the cap,
+    # not materialize the bomb.
+    payload = _bomb_png(4, 4, b"\x00" * (64 * 1024 * 1024))
+    t0 = time.time()
+    with pytest.raises(ValueError, match="does not match"):
+        codecs.decode_png(payload)
+    assert time.time() - t0 < 2.0
+
+
+def test_jpeg_rejects_bomb_dimensions_promptly():
+    import time
+
+    good = codecs.encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    # corrupt the SOF0 dims in place: find the C0 marker, patch h and w
+    i = good.find(b"\xff\xc0")
+    assert i > 0
+    bad = bytearray(good)
+    bad[i + 5 : i + 9] = (60_000).to_bytes(2, "big") + (60_000).to_bytes(2, "big")
+    t0 = time.time()
+    with pytest.raises(ValueError, match="decode cap"):
+        codecs.decode_jpeg(bytes(bad))
+    assert time.time() - t0 < 1.0
+
+
+def test_quarantined_metadata_extracts_good_rows_and_isolates_bombs(spark):
+    """End-to-end PERMISSIVE media decode: one good PPM, one bomb PNG, one
+    zlib bomb, one corrupt JPEG, garbage bytes — good rows decode, bad
+    rows land in decode_error, the task never dies."""
+    from pyspark.sql import functions as F
+
+    ppm = b"P6\n4 3\n255\n" + bytes(range(36))
+    rows = [
+        (0, bytearray(ppm)),
+        (1, bytearray(_bomb_png(50_000, 50_000, b"\x00" * 100))),
+        (2, bytearray(_bomb_png(4, 4, b"\x00" * (8 * 1024 * 1024)))),
+        (3, bytearray(b"\xff\xd8garbage-after-soi")),
+        (4, bytearray(b"not an image at all")),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in multimodal.extract_image_metadata_quarantined(df).collect()
+    }
+    assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (4, 3, 3)
+    assert out[0]["decode_error"] is None
+    for bad in (1, 2, 3, 4, 5):
+        assert out[bad]["decode_error"] is not None
+        assert out[bad]["width"] is None
+    assert "decode cap" in out[1]["decode_error"]

@@ -368,9 +368,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     oracle="""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+    WITH nn AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+    -- off-modal-dimension vectors (mixed embedding-model versions) are
+    -- unscorable too — the oracle twin of scorable()'s dimension rule
+    dim AS (SELECT len(e) AS d FROM nn GROUP BY d
+            ORDER BY COUNT(*) DESC, d LIMIT 1),
+    v AS (SELECT nn.* FROM nn, dim WHERE len(nn.e) = dim.d),
     pairs AS (
       SELECT a.label AS label,
              list_dot_product(a.e, b.e)

@@ -27,20 +27,73 @@ def _as_double(col: str) -> F.Column:
     return F.expr(f"transform({col}, x -> cast(x as double))")
 
 
-def scorable(df: DataFrame) -> DataFrame:
-    """Drop vectors no similarity tier can score or index: NULL
-    embeddings and embeddings containing NaN/±Inf components. MLlib's
-    Vector rejects them outright, a NaN poisons every BLAS matmul it
-    touches, and treating NaN >= threshold as a near-dup hit would drop
-    good rows — so unscorable vectors are excluded from scoring and pair
-    formation (they are still KEPT by removal pipelines: never a dup).
-    The DuckDB oracle twin of this predicate is
-    `embedding IS NOT NULL AND len(list_filter(embedding,
-    x -> isnan(x) OR isinf(x))) = 0`."""
+def _finite_vectors(df: DataFrame) -> DataFrame:
+    """NULL embeddings and embeddings with NaN/±Inf components dropped —
+    the value half of the scorable() contract."""
     bad = F.exists(
         "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
     )
     return df.filter(F.col("embedding").isNotNull() & ~bad)
+
+
+# modal_dim results keyed by DataFrame.semanticHash(): one dim-discovery
+# job per corpus per session, not one per scorable() call — re-running a
+# query (bench medians, retries) then pays nothing. Safe because a given
+# logical plan over immutable corpus files has a stable modal dimension
+# within a session; rewriting the files under the SAME path mid-session
+# would go stale (tests use fresh tmp dirs; production embedding corpora
+# are not rewritten mid-job). Bounded so a long session cannot leak.
+_MODAL_DIM_CACHE: dict[int, int | None] = {}
+_MODAL_DIM_CACHE_MAX = 256
+
+
+def modal_dim(df: DataFrame) -> int | None:
+    """The dominant embedding length among the finite vectors of ``df``
+    (count ties break to the smallest length, deterministically on both
+    engines), or None when no finite vector exists. One cheap
+    size-histogram aggregate per corpus per session (see cache note) —
+    at 100 TB it is one long per (partition, distinct size) reduced to a
+    single row, negligible next to any scoring pass, and corpora with a
+    statically known dimension can pass it to scorable() directly."""
+    key = df.semanticHash()
+    if key not in _MODAL_DIM_CACHE:
+        if len(_MODAL_DIM_CACHE) >= _MODAL_DIM_CACHE_MAX:
+            _MODAL_DIM_CACHE.clear()
+        row = (
+            _finite_vectors(df)
+            .groupBy(F.size("embedding").alias("_dim"))
+            .agg(F.count("*").alias("_n"))
+            .orderBy(F.desc("_n"), F.asc("_dim"))
+            .limit(1)
+            .collect()
+        )
+        _MODAL_DIM_CACHE[key] = row[0]["_dim"] if row else None
+    return _MODAL_DIM_CACHE[key]
+
+
+def scorable(df: DataFrame, dim: int | None = None) -> DataFrame:
+    """Drop vectors no similarity tier can score or index: NULL
+    embeddings, embeddings containing NaN/±Inf components, and vectors
+    whose length differs from the corpus's dominant dimension. MLlib's
+    Vector rejects NaN/Inf outright, a NaN poisons every BLAS matmul it
+    touches, treating NaN >= threshold as a near-dup hit would drop good
+    rows — and a mixed-dimension corpus (two embedding model versions
+    landing in one table) crashes MLlib fits, numpy stacking, and
+    DuckDB's list_inner_product, while Catalyst's zip_with silently
+    NULL-pads. So unscorable vectors are excluded from scoring, banding
+    and indexing (they are still KEPT by removal pipelines: never a
+    dup). ``dim`` lets two-sided operators pin both sides to the SAME
+    corpus-derived dimension (see cosine_topk); default is the modal
+    dimension of ``df`` itself, folded in as a literal so the dimension
+    check fuses into the scan (no extra plan node). The DuckDB oracle
+    twin is `embedding IS NOT NULL AND len(list_filter(embedding,
+    x -> isnan(x) OR isinf(x))) = 0 AND len(embedding) = (SELECT
+    len(embedding) ... GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1)`."""
+    ok = _finite_vectors(df)
+    d = modal_dim(df) if dim is None else dim
+    if d is None:  # no finite vectors at all — empty frame, same schema
+        return ok.filter(F.lit(False))
+    return ok.filter(F.size("embedding") == F.lit(d))
 
 
 def cosine_topk(
@@ -49,12 +102,15 @@ def cosine_topk(
     """Exact top-k cosine neighbors: broadcast the (small) query side,
     score every (query, corpus) pair, keep k per query via a rank-limited
     window (Catalyst pushes the limit into the sort)."""
-    # Unscorable vectors (NULL / NaN / Inf) are dropped from both sides up
-    # front — see scorable() for the contract and its oracle twin.
-    q = scorable(queries).select(
+    # Unscorable vectors (NULL / NaN / Inf / off-dimension) are dropped
+    # from both sides up front — see scorable(). Both sides pin to the
+    # CORPUS's modal dimension: a query from a different model version
+    # must return no neighbors, not NULL-padded garbage similarities.
+    d = modal_dim(corpus)
+    q = scorable(queries, d).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
     )
-    c = scorable(corpus).select(
+    c = scorable(corpus, d).select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
     )
     dot = F.expr(_DOT.format(a="qe", b="ce"))
@@ -75,13 +131,18 @@ def cosine_topk(
 @query(
     "simsearch_topk_exact",
     oracle="""
-    -- Unscorable embeddings (NULL / NaN / Inf components) are excluded on
-    -- both sides — the oracle twin of scorable(); a zero-norm vector still
-    -- participates with NULL cosine, ranked DESC NULLS LAST to match
-    -- Spark's desc() default so the tail of a short candidate list agrees.
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-               WHERE embedding IS NOT NULL
-                 AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+    -- Unscorable embeddings (NULL / NaN / Inf components, or a length
+    -- off the corpus's modal dimension — mixed embedding-model versions)
+    -- are excluded on both sides — the oracle twin of scorable(); a
+    -- zero-norm vector still participates with NULL cosine, ranked DESC
+    -- NULLS LAST to match Spark's desc() default so the tail of a short
+    -- candidate list agrees.
+    WITH nn AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                WHERE embedding IS NOT NULL
+                  AND len(list_filter(embedding, x -> isnan(x) OR isinf(x))) = 0),
+    dim AS (SELECT len(e) AS d FROM nn GROUP BY d
+            ORDER BY COUNT(*) DESC, d LIMIT 1),
+    v AS (SELECT nn.* FROM nn, dim WHERE len(nn.e) = dim.d),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(q.e, c.e)
@@ -376,7 +437,11 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
     the LSH/IVF tiers instead."""
     import pandas as pd
 
-    qrows = scorable(queries).select("vec_id", "embedding").collect()
+    # Same cross-side rule as cosine_topk: both sides pinned to the
+    # corpus's modal dimension, so the query matrix stacks rectangular
+    # and the matmul never sees a ragged batch.
+    d = modal_dim(corpus)
+    qrows = scorable(queries, d).select("vec_id", "embedding").collect()
     if not qrows:
         # no scorable queries (empty partition replay): empty result,
         # same schema — np.linalg.norm would choke on a 0-d matrix
@@ -414,7 +479,7 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
             )
             yield out[out.query_id != out.neighbor_id]
 
-    scored = scorable(corpus).select("vec_id", "embedding").mapInPandas(
+    scored = scorable(corpus, d).select("vec_id", "embedding").mapInPandas(
         score, "query_id long, neighbor_id long, cosine_sim double"
     )
     # round in Spark, not numpy: np.round is half-to-even; F.round matches
@@ -491,12 +556,16 @@ def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_embedding_dedup",
     oracle="""
     WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-    -- Unscorable embeddings (NULL / NaN / Inf — the oracle twin of
-    -- scorable()) never participate in pairs: DuckDB's list_dot_product
-    -- errors on a NULL list, and NaN >= threshold would count as a dup.
+    -- Unscorable embeddings (NULL / NaN / Inf, or off the corpus's modal
+    -- dimension — the oracle twin of scorable()) never participate in
+    -- pairs: DuckDB's list_dot_product errors on a NULL list or a
+    -- length mismatch, and NaN >= threshold would count as a dup.
     -- They are still counted in the per-label totals below (kept).
-    nn AS (SELECT * FROM v WHERE e IS NOT NULL
-           AND len(list_filter(e, x -> isnan(x) OR isinf(x))) = 0),
+    fin AS (SELECT * FROM v WHERE e IS NOT NULL
+            AND len(list_filter(e, x -> isnan(x) OR isinf(x))) = 0),
+    dim AS (SELECT len(e) AS d FROM fin GROUP BY d
+            ORDER BY COUNT(*) DESC, d LIMIT 1),
+    nn AS (SELECT fin.* FROM fin, dim WHERE len(fin.e) = dim.d),
     dup_ids AS (
       SELECT DISTINCT b.vec_id
       FROM nn a JOIN nn b ON a.label = b.label AND a.vec_id < b.vec_id

@@ -154,3 +154,61 @@ def test_fixture_contains_the_advertised_hazards():
     assert math.isnan(by_id[5][1][0])                       # NaN component
     assert by_id[6][1] is None                              # NULL embedding
     assert by_id[10][2] is None and by_id[11][2] == -1      # label edges
+
+
+# --------------------------------------------------------------------------
+# Mixed-dimension corpus: two (or three) embedding-model versions landing
+# in one table. Before scorable() grew its modal-dimension rule this
+# crashed DuckDB's list_inner_product (hard error on length mismatch),
+# MLlib KMeans fits (IVF + semantic dedup) and the numpy stacking paths
+# (PQ, exact_np), while Catalyst's zip_with silently NULL-padded.
+# Contract: off-modal vectors are unscorable — excluded from scoring,
+# banding and indexing, kept by removal pipelines.
+# --------------------------------------------------------------------------
+RAGGED_EMBEDDINGS = (
+    [(i, [((i * 31 + j * 17) % 19 - 9) / 9.0 for j in range(8)], i % 4)
+     for i in range(40)]                                   # dim-8 majority
+    + [
+        (100, [1.0, 2.0, 3.0, 4.0], 0),                    # dim-4 (old model)
+        (101, [0.1] * 1000, 1),                            # dim-1000 (new model)
+        (102, [0.5], 2),                                   # dim-1
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def ragged_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("ragged_emb")
+    spark.createDataFrame(
+        RAGGED_EMBEDDINGS, "vec_id long, embedding array<float>, label int"
+    ).repartition(2).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _emb_only_pairs())
+def test_embeddings_oracle_pair_on_ragged_dimensions(spark, ragged_dir, name):
+    _compare(spark, ragged_dir, name, ["embeddings"])
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "simsearch_topk_lsh", "simsearch_topk_ivf", "simsearch_topk_pq",
+        "simsearch_lsh_buckets", "simsearch_topk_exact_np",
+        "pipeline_embedding_dedup_lsh", "pipeline_semantic_dedup",
+    ],
+)
+def test_rows_only_tier_survives_ragged_dimensions(spark, ragged_dir, name):
+    REGISTRY[name].fn(spark, ragged_dir).collect()
+
+
+def test_scorable_drops_off_modal_dimensions(spark, ragged_dir):
+    from rws_data_ingester_spark.operators.similarity import scorable
+
+    kept = {
+        r["vec_id"]
+        for r in scorable(spark.read.parquet(f"{ragged_dir}/embeddings.parquet"))
+        .select("vec_id")
+        .collect()
+    }
+    assert kept == set(range(40))  # the dim-8 majority; 100/101/102 dropped

@@ -176,21 +176,48 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("text_fingerprint", oracle=None)  # xxhash64 engine-specific → rows-only
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: min/max/count over the rolling
-    5-gram character hash sequence. xxhash64 keeps it JVM-side; the rolling
-    windows come from sequence+transform (no Python)."""
+    5-gram character hash sequence. xxhash64 keeps it JVM-side; the
+    rolling windows come from zipped shifted slices (no Python).
+
+    Structure matters here: the obvious ``transform(sequence(1, n-4),
+    i -> xxhash64(substring(text, i, 5)))`` is O(n²) per document TWICE
+    over — character-addressed substring rescans the string per window,
+    and (the dominant cost) an OUTER column referenced inside a
+    higher-order-function lambda is re-read from the row PER ELEMENT,
+    and UnsafeRow.getUTF8String/getBinary copy the whole payload each
+    time: one 300 KB document = 600k × 300 KB ≈ 180 GB of memcopy,
+    ~1 min/row (found by the multi-MB-document probe). The linear form
+    feeds ALL per-element data through the transform's input array,
+    which a HOF evaluates once per row: zip five shifted slices of the
+    split-to-chars array and hash the reassembled 5-gram from the zip
+    struct. ~1 s for a 2× 300 KB corpus vs 55-58 s before."""
     d = Catalog(spark, sf_dir).documents
-    grams = F.expr(
-        "transform(sequence(1, greatest(length(text) - 4, 1)),"
-        " i -> xxhash64(substring(text, i, 5)))"
+    with_chars = d.select(
+        "doc_id", F.split(F.col("text"), "(?!^)").alias("_c")
     )
-    return d.select(
-        "doc_id",
-        F.array_min(grams).alias("fp_min"),
-        F.array_max(grams).alias("fp_max"),
-        F.size(grams).cast("long").alias("fp_len"),
-        F.xxhash64(F.concat_ws("|", F.transform(grams, lambda x: x.cast("string")))).alias(
-            "fingerprint"
+    zipped = F.arrays_zip(
+        *[
+            F.slice(
+                F.col("_c"), F.lit(j + 1), F.greatest(F.size("_c") - 4, F.lit(1))
+            ).alias(f"c{j}")
+            for j in range(5)
+        ]
+    )
+    grams_col = F.transform(
+        zipped,
+        lambda s: F.xxhash64(
+            F.concat(s["c0"], s["c1"], s["c2"], s["c3"], s["c4"])
         ),
+    )
+    with_grams = with_chars.select("doc_id", grams_col.alias("_grams"))
+    return with_grams.select(
+        "doc_id",
+        F.array_min("_grams").alias("fp_min"),
+        F.array_max("_grams").alias("fp_max"),
+        F.size("_grams").cast("long").alias("fp_len"),
+        F.xxhash64(
+            F.concat_ws("|", F.transform("_grams", lambda x: x.cast("string")))
+        ).alias("fingerprint"),
     )
 
 

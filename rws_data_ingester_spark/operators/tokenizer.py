@@ -47,19 +47,20 @@ def word_freq_table(docs: DataFrame) -> DataFrame:
 
 def _merge_pair(symbols: F.Column, a: str, b: str) -> F.Column:
     """Greedy left-to-right merge of adjacent (a, b) -> a+b inside one
-    symbol array — a row-local aggregate accumulator, no Python."""
-    return F.aggregate(
-        symbols,
-        F.expr("cast(array() as array<string>)"),
-        lambda acc, s: F.when(
-            (F.size(acc) > 0)
-            & (F.element_at(acc, -1) == F.lit(a))
-            & (s == F.lit(b)),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(F.lit(a + b))
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
-    )
+    symbol array — row-local, no Python, and LINEAR in the word length:
+    join the symbols on spaces, replace ``a b`` (space-delimited via
+    zero-width lookarounds, so consecutive merge sites keep their shared
+    delimiter) and split back. The previous form — an ``aggregate``
+    accumulator appending to an array column — copied the whole
+    accumulator per element, O(n²) per word: a single 300 KB
+    run-on token (minified JS) hung the merge round for minutes (found
+    by the multi-MB-document probe). Java regex leftmost non-overlapping
+    replacement is exactly the greedy BPE merge order; symbols only ever
+    contain [a-z0-9] (see word_freq_table's split), so the pair needs no
+    regex quoting."""
+    joined = F.concat(F.lit(" "), F.array_join(symbols, " "), F.lit(" "))
+    merged = F.regexp_replace(joined, f"(?<= ){a} {b}(?= )", a + b)
+    return F.split(F.trim(merged), " ")
 
 
 def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:

@@ -84,17 +84,26 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    benchmark set (docs 0-9), benchmark grams broadcast. The explode
     #    runs over quality-gate survivors only — and exactly ONCE.
     s3_docs = d.filter(q_pred).join(roots, "doc_id", "left_semi")
-    toks = F.split("text", " ")
+    # The token array is bound ONCE via the single-element-wrapper trick
+    # (transform over array(split(...)) — same as text_contamination): a
+    # bare split() referenced inside the per-position lambda is
+    # re-evaluated PER GRAM, O(tokens²) per document — one 50k-token
+    # document spent ~100 s re-splitting itself (found by the
+    # multi-MB-document probe; thread dump showed StringSplit inside
+    # ConcatWs.eval).
     grams = s3_docs.select(
         "doc_id",
         F.explode(
-            F.when(
-                F.size(toks) >= 4,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(toks) - 3),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i, 4)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.transform(
+                F.array(F.split("text", " ")),
+                lambda t: F.when(
+                    F.size(t) >= 4,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 3),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, 4)),
+                    ),
+                ).otherwise(F.array().cast("array<string>")),
+            )[0]
         ).alias("gram"),
     )
     bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()

@@ -106,3 +106,25 @@ def test_documents_only_oracle_pair_on_big_docs(spark, bigdoc_dir, name):
             f"spark-only sample {list(only_s.items())[:3]}; "
             f"duck-only sample {list(only_d.items())[:3]}"
         )
+
+
+# Rows-only documents queries: survival + determinism class on the same
+# big-doc corpus. These caught three O(n²)-per-row constructs the oracle
+# pairs could not see (they are oracle-less): the BPE merge accumulator
+# (array-copy per element), the fingerprint's per-element re-read of a
+# large outer column through an interpreted higher-order function
+# (UnsafeRow.getBinary copies the whole payload per element), and the
+# training funnel's bare split() re-evaluated per contamination gram.
+DOCS_ROWS_ONLY = [
+    "dedup_jaccard_pairs", "dedup_minhash_candidates", "dedup_simhash",
+    "text_fingerprint", "text_span_corruption", "bpe_vocab_train",
+    "dedup_clusters", "pipeline_near_dedup_remove", "pipeline_pack_sequences",
+    "pipeline_quality_classifier", "pipeline_training_data",
+    "multimodal_features", "multimodal_resize", "dedup_incremental_index",
+    "sample_weighted_reservoir",
+]
+
+
+@pytest.mark.parametrize("name", DOCS_ROWS_ONLY)
+def test_rows_only_docs_query_survives_big_docs(spark, bigdoc_dir, name):
+    REGISTRY[name].fn(spark, bigdoc_dir).collect()

@@ -435,18 +435,22 @@ def scalar_explode_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scalar_json_funcs",
     oracle="""
+    -- TRY_CAST everywhere a JSON value meets BIGINT: a $.k holding a
+    -- string must degrade to NULL on BOTH engines — Spark's ANSI cast
+    -- would otherwise kill the whole job on one bad row (try_cast on
+    -- the Spark side mirrors this).
     SELECT event_id,
            CASE WHEN COALESCE(json_valid(props), false)
-                THEN json_extract(props, '$.k')::BIGINT END       AS k_path,
+                THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k_path,
            CASE WHEN COALESCE(json_valid(props), false)
-                THEN json_extract(props, '$.k')::BIGINT END       AS k_typed,
+                THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k_typed,
            COALESCE(json_valid(props), false)                     AS is_valid,
            COALESCE(CASE WHEN COALESCE(json_valid(props), false)
-                         THEN json_extract(props, '$.missing')::BIGINT END,
+                         THEN TRY_CAST(json_extract(props, '$.missing') AS BIGINT) END,
                     -1)                                           AS k_fallback,
            json_object('id', event_id,
                        'k', CASE WHEN COALESCE(json_valid(props), false)
-                                 THEN json_extract(props, '$.k')::BIGINT
+                                 THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT)
                             END)::VARCHAR                         AS packed
     FROM events WHERE event_id < 200
     """,
@@ -470,11 +474,11 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = F.from_json("props", "struct<k:long>")
     return ev.filter(F.col("event_id") < 200).select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_path"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_path"),
         parsed["k"].alias("k_typed"),
         F.try_parse_json("props").isNotNull().alias("is_valid"),
         F.coalesce(
-            F.get_json_object("props", "$.missing").cast("long"), F.lit(-1)
+            F.get_json_object("props", "$.missing").try_cast("long"), F.lit(-1)
         ).alias("k_fallback"),
         F.to_json(
             F.struct(F.col("event_id").alias("id"), parsed["k"].alias("k")),
@@ -591,7 +595,7 @@ def scalar_encode_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CASE WHEN COALESCE(json_valid(props), false)
-                THEN json_extract(props, '$.k')::BIGINT END AS k_long,
+                THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k_long,
            (CASE WHEN COALESCE(json_valid(props), false)
                  THEN json_extract(props, '$.absent') END) IS NULL
              AS missing_is_null,
@@ -621,7 +625,9 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.try_parse_json("props")
     return ev.select(
         "event_id",
-        F.variant_get(v, "$.k", "long").alias("k_long"),
+        # try_variant_get, not variant_get: a $.k holding a string is an
+        # INVALID_VARIANT_CAST that would fail the job on one bad row
+        F.try_variant_get(v, "$.k", "long").alias("k_long"),
         F.variant_get(v, "$.absent", "string").isNull().alias("missing_is_null"),
         F.try_parse_json(F.concat(F.lit("{"), F.col("props"))).isNull().alias(
             "bad_parse_null"

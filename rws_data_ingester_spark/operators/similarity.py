@@ -168,17 +168,26 @@ def simsearch_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH — the approximate scale path (rows-only check;
 # recall vs the exact path is asserted in tests/test_similarity.py).
 # --------------------------------------------------------------------------
-def hyperplane_signature(df: DataFrame, dim: int = 64, n_planes: int = 16, seed: int = 42) -> DataFrame:
+def hyperplane_signature(df: DataFrame, dim: int | None = None, n_planes: int = 16, seed: int = 42) -> DataFrame:
     """Sign-bit signature under fixed random hyperplanes. The hyperplane
     matrix is generated once on the driver (seeded → deterministic) and
     shipped as a literal array; signature computation is pure Catalyst
     expressions, no Python per row.
+
+    ``dim`` defaults to the corpus's modal dimension (cached — see
+    modal_dim): a FIXED plane width silently collapses LSH on any other
+    corpus, because zip_with NULL-pads the shorter side, one NULL
+    poisons the whole dot-product fold, and every sign bit reads 0 —
+    all vectors land in a single bucket and the "bucketed" probe
+    degrades to an all-pairs scan.
 
     n_planes is capped at 62: bit i is encoded as +2^i into a signed
     64-bit ``lsh_sig``, so 2^63 would overflow the long. Wider signatures
     belong in multiple sig columns (one per 62-bit word), not one long."""
     if not 1 <= n_planes <= 62:
         raise ValueError(f"n_planes must be in [1, 62], got {n_planes}")
+    if dim is None:
+        dim = modal_dim(df) or 1
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
     sig_bits = []
@@ -196,7 +205,7 @@ def hyperplane_signature(df: DataFrame, dim: int = 64, n_planes: int = 16, seed:
 
 def banded_hyperplane_signature(
     df: DataFrame,
-    dim: int = 64,
+    dim: int | None = None,
     n_bands: int = 4,
     band_bits: int = 4,
     seed: int = 42,
@@ -217,6 +226,8 @@ def banded_hyperplane_signature(
     multiplication."""
     if not 1 <= band_bits <= 62:
         raise ValueError(f"band_bits must be in [1, 62], got {band_bits}")
+    if dim is None:  # corpus modal dimension — see hyperplane_signature
+        dim = modal_dim(df) or 1
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_bands * band_bits, dim)
     bands = []

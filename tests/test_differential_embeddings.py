@@ -212,3 +212,16 @@ def test_scorable_drops_off_modal_dimensions(spark, ragged_dir):
         .collect()
     }
     assert kept == set(range(40))  # the dim-8 majority; 100/101/102 dropped
+
+
+def test_lsh_planes_adapt_to_corpus_dimension(spark, ragged_dir):
+    """A fixed 64-wide hyperplane matrix silently collapses LSH on any
+    corpus of another dimension: zip_with NULL-pads the shorter side, the
+    NULL poisons the dot-product fold, every sign bit reads 0, and all
+    vectors land in one bucket (the probe degrades to all-pairs). With
+    the modal-dim default, a dim-8 corpus must spread across buckets."""
+    sigs = {
+        r["lsh_sig"]
+        for r in REGISTRY["simsearch_lsh_buckets"].fn(spark, ragged_dir).collect()
+    }
+    assert len(sigs) > 1, "all vectors fell into a single LSH bucket"

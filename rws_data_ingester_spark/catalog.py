@@ -95,5 +95,15 @@ class Catalog:
         raise AttributeError(name)
 
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Register canonical-named SESSION temp views (``orders``, …).
+
+        Session-global state: this clobbers any existing temp view of the
+        same name and races across concurrent Catalogs on different
+        sf_dirs, so internal queries pass statement-scoped DataFrame args
+        to ``spark.sql`` instead (``spark.sql("... FROM {orders}",
+        orders=cat.orders)``). Only the verbatim-SQL passthrough surface
+        (sql_passthrough_segment_revenue, join_lateral_topn — where the
+        user's untouched ANSI string must run against canonical table
+        names on both engines) uses this deliberately."""
         for name in names:
             self.table(name).createOrReplaceTempView(name)

@@ -191,12 +191,14 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("bigrams", Bigrams)
     cat = Catalog(spark, sf_dir)
-    cat.documents.filter(F.col("doc_id") < 20).createOrReplaceTempView("_udtf_docs")
+    # statement-scoped arg instead of a session temp view (no pollution,
+    # no cross-sf_dir race); the UDTF registration is the demo surface
     return spark.sql(
         """
         SELECT d.doc_id, t.pos, t.bigram
-        FROM _udtf_docs d, LATERAL bigrams(d.text) t
-        """
+        FROM {docs} d, LATERAL bigrams(d.text) t
+        """,
+        docs=cat.documents.filter(F.col("doc_id") < 20),
     )
 
 
@@ -356,12 +358,14 @@ def udf_sql_registered(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pure SQL string functions — the UDF must agree with the
     built-in-only formulation."""
     cat = Catalog(spark, sf_dir)
-    cat.register_views(("region",))
     spark.udf.register(
         "py_vowel_count",
         lambda s: sum(s.lower().count(v) for v in "aeiou") if s else 0,
         "long",
     )
+    # statement-scoped table arg; the UDF registration itself is the
+    # session-global surface under demonstration
     return spark.sql(
-        "SELECT r_name, py_vowel_count(r_name) AS n_vowels FROM region"
+        "SELECT r_name, py_vowel_count(r_name) AS n_vowels FROM {region}",
+        region=cat.region,
     )

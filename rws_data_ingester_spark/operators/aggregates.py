@@ -142,13 +142,16 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-passthrough path: the engine accepts raw SQL over the registered
     catalog views (Catalyst produces the identical plan either way)."""
     cat = Catalog(spark, sf_dir)
-    cat.register_views(("orders",))
+    # Statement-scoped DataFrame args, not registered temp views: a
+    # session-global view named `orders` clobbers any user view of that
+    # name and races across concurrent Catalogs on different sf_dirs.
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
-        FROM orders
+        FROM {orders}
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        """
+        """,
+        orders=cat.orders,
     )
 
 

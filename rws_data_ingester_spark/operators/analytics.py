@@ -175,18 +175,19 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi join on l_orderkey with the l_shipdate > o_orderdate residual —
     same plan a hand-written semi join would get, written declaratively."""
     cat = Catalog(spark, sf_dir)
-    cat.register_views(("orders", "lineitem"))
     return spark.sql(
         """
         SELECT o_orderpriority, COUNT(*) AS order_count
-        FROM orders
+        FROM {orders}
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate <  TIMESTAMP '1997-04-01'
-          AND EXISTS (SELECT 1 FROM lineitem
+          AND EXISTS (SELECT 1 FROM {lineitem}
                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
-        """
+        """,
+        orders=cat.orders,
+        lineitem=cat.lineitem,
     )
 
 
@@ -206,15 +207,16 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg(l_quantity) per partkey, then joins it back — the subquery never
     re-executes per row, which is the only survivable form at 100 TB."""
     cat = Catalog(spark, sf_dir)
-    cat.register_views(("lineitem", "part"))
     return spark.sql(
         """
         SELECT ROUND(SUM(l_extendedprice) / 7.0 + 0.000001, 2) AS avg_yearly
-        FROM lineitem JOIN part ON p_partkey = l_partkey
+        FROM {lineitem} JOIN {part} ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#1'
-          AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+          AND l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM {lineitem} l2
                             WHERE l2.l_partkey = p_partkey)
-        """
+        """,
+        lineitem=cat.lineitem,
+        part=cat.part,
     )
 
 
@@ -378,17 +380,18 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar subquery (broadcast single value) composed with NOT EXISTS
     (decorrelated to a left anti join on o_custkey)."""
     cat = Catalog(spark, sf_dir)
-    cat.register_views(("customer", "orders"))
     return spark.sql(
         """
         SELECT c_nationkey,
                COUNT(*) AS n_customers,
                ROUND(SUM(c_acctbal) + 0.000001, 2) AS total_bal
-        FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        FROM {customer}
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM {customer} WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM {orders} WHERE o_custkey = c_custkey)
         GROUP BY c_nationkey
-        """
+        """,
+        customer=cat.customer,
+        orders=cat.orders,
     )
 
 

@@ -562,13 +562,14 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery via SQL passthrough — Catalyst plans the subquery
     as a broadcast scalar (one extra tiny job), identical to DuckDB."""
     cat = Catalog(spark, sf_dir)
-    cat.register_views(("orders",))
+    # statement-scoped args — no session temp views (see agg_grouping_sets)
     return spark.sql(
         """
         SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price
-        FROM orders
-        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
-        """
+        FROM {orders}
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM {orders})
+        """,
+        orders=cat.orders,
     )
 
 
@@ -581,12 +582,13 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def in_subquery_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
-    cat.register_views(("customer", "nation"))
     return spark.sql(
         """
-        SELECT c_custkey, c_name FROM customer
-        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
-        """
+        SELECT c_custkey, c_name FROM {customer}
+        WHERE c_nationkey IN (SELECT n_nationkey FROM {nation} WHERE n_regionkey = 1)
+        """,
+        customer=cat.customer,
+        nation=cat.nation,
     )
 
 

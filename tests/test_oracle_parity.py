@@ -119,3 +119,29 @@ def test_every_registered_query_is_documented_in_coverage():
     cov = (Path(__file__).resolve().parents[1] / "COVERAGE.md").read_text()
     missing = [n for n in REGISTRY if n not in cov]
     assert not missing, f"queries absent from COVERAGE.md: {missing}"
+
+
+def test_sql_queries_do_not_clobber_user_temp_views(spark):
+    """Internal SQL-passthrough-shaped queries use statement-scoped
+    DataFrame args, NOT session temp views: a session-global view named
+    `orders` would silently replace a user's own view of that name (and
+    race across concurrent Catalogs on different sf_dirs). Only the two
+    verbatim-ANSI passthrough queries register canonical views, by
+    documented design."""
+    marker = spark.range(7).withColumnRenamed("id", "user_marker")
+    marker.createOrReplaceTempView("orders")
+    marker.createOrReplaceTempView("customer")
+    try:
+        for name in (
+            "agg_grouping_sets", "scalar_subquery_above_avg",
+            "in_subquery_customers", "q4_order_priority",
+            "q17_small_quantity_revenue", "q22_dormant_customers",
+            "udf_sql_registered", "udtf_bigrams",
+        ):
+            REGISTRY[name].fn(spark, SF_DIR).collect()
+        # the user's views survived every query untouched
+        assert spark.table("orders").columns == ["user_marker"]
+        assert spark.table("customer").columns == ["user_marker"]
+    finally:
+        spark.catalog.dropTempView("orders")
+        spark.catalog.dropTempView("customer")

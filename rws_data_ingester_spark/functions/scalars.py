@@ -341,14 +341,19 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(list_filter(toks, t -> length(t) > 4))::BIGINT AS n_long,
            list_reduce(list_transform(toks, t -> length(t)), (a, b) -> a + b)::BIGINT
              AS total_chars,
-           CASE WHEN len(list_filter(toks, t -> t = 'the')) > 0 THEN true ELSE false END
-             AS has_the,
+           CASE WHEN text IS NULL THEN NULL
+                WHEN len(list_filter(toks, t -> t = 'the')) > 0 THEN true
+                ELSE false END                                    AS has_the,
            len(list_filter(toks, t -> length(t) >= 1)) = len(toks) AS all_nonempty,
            list_position(toks, 'the')::BIGINT                   AS pos_the,
            len(list_filter(toks, t -> t != 'the'))::BIGINT      AS n_non_the,
-           len(list_distinct(toks || ['__sentinel__']))::BIGINT AS n_with_sentinel,
-           coalesce(array_to_string(toks[2:4], '|'), '')        AS mid_slice,
-           len(flatten([toks, toks]))::BIGINT                   AS n_doubled,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE len(list_distinct(toks || ['__sentinel__'])) END::BIGINT
+             AS n_with_sentinel,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(array_to_string(toks[2:4], '|'), '') END AS mid_slice,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE len(flatten([toks, toks])) END::BIGINT       AS n_doubled,
            map_extract(meta, 'lang')[1]                         AS lang,
            map_extract(meta, 'source')[1]                       AS source,
            len(map_keys(meta))::BIGINT                          AS n_keys,

@@ -154,7 +154,12 @@ def frame_sample(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                p = payload or b""
+                if payload is None:
+                    # NULL payload -> NULL frame stats (SQL NULL
+                    # propagation; a missing video is not a 0-frame one)
+                    rows.append((doc_id, None, None, None))
+                    continue
+                p = bytes(payload)
                 frames = [p[i : i + FRAME_BYTES] for i in range(0, len(p), FRAME_BYTES)]
                 sampled = frames[::SAMPLE_EVERY]
                 rows.append(

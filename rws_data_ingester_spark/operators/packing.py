@@ -96,8 +96,14 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     oversized doc, determinism across runs) and replays the exact greedy
     algorithm in pure Python per partition."""
     d = Catalog(spark, sf_dir).documents
+    # NULL text packs as a 0-token member (coalesce): the kernel's
+    # int(ntok) dies on the NaN a NULL becomes in pandas, and dropping
+    # the row would break the every-doc-packed-exactly-once invariant.
     sized = d.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        "doc_id",
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
     )
     out = pack_sequences(sized, budget=256)
     # hash-comparable rendering: array column → csv string

@@ -264,19 +264,22 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF
 
     d = Catalog(spark, sf_dir).documents
-    toks = F.split("text", " ")
+    # NULL text = empty token list, weak label 0.0 (low quality): MLlib's
+    # HashingTF throws on a NULL array and LR on a NULL label, so one
+    # NULL-text row would otherwise fail the whole fit; the nullif keeps
+    # the empty-array ratio from tripping the ANSI zero divide.
+    toks = F.coalesce(
+        F.split("text", " "), F.expr("cast(array() as array<string>)")
+    )
     sw = F.array(*[F.lit(w) for w in ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")])
+    ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast(
+        "double"
+    ) / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
     base = d.select(
         "doc_id",
         "lang",
         toks.alias("toks"),
-        (
-            F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
-            / F.size(toks)
-            >= 0.05
-        )
-        .cast("double")
-        .alias("label"),
+        F.coalesce((ratio >= 0.05).cast("double"), F.lit(0.0)).alias("label"),
     )
     tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=256)
     feats = tf.transform(base)

@@ -154,7 +154,12 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle (the plan is scan→generate→project). Rows explode by
     ~n_tokens/stride, the unavoidable output factor."""
     d = Catalog(spark, sf_dir).documents
-    toks = d.select("doc_id", F.split("text", " ").alias("toks"))
+    # NULL text -> no chunks on both engines (the oracle's zipped unnest
+    # over a NULL list emits nothing; without the filter, greatest()
+    # skipping the NULL size would fabricate one empty chunk here)
+    toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.col("toks").isNotNull()
+    )
     starts = toks.select(
         "doc_id",
         "toks",

@@ -136,6 +136,10 @@ def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     out = tempfile.mkdtemp(prefix="rws_bin_")
     for doc_id, text in d.filter(F.col("doc_id") < 50).select("doc_id", "text").collect():
+        if text is None:
+            continue  # NULL payload -> no file, matching the oracle's
+            # octet_length(encode(NULL)) IS NULL exclusion (same outcome
+            # as binaryFile skipping zero-byte files)
         with open(os.path.join(out, f"{doc_id}.bin"), "wb") as f:
             f.write(text.encode("utf-8"))
     scanned = spark.read.format("binaryFile").load(out)

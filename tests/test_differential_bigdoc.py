@@ -63,6 +63,9 @@ def _big_docs():
         # corpus-side docs (>= 10) for the contamination screen
         (11, " ".join(rng.choice(_WORDS) for _ in range(5_000)), "en", "web"),
         (12, "tiny normal document with a few words", "en", "wiki"),
+        # NULL text rides along so the rows-only tier proves the
+        # NULL-payload contract at big-doc scale too
+        (13, None, "en", "web"),
     ]
 
 
@@ -70,7 +73,7 @@ def _big_docs():
 def bigdoc_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("bigdoc")
     rows = [
-        (i, text, lang, source, len(text))
+        (i, text, lang, source, len(text) if text is not None else None)
         for (i, text, lang, source) in _big_docs()
     ]
     spark.createDataFrame(

@@ -52,6 +52,13 @@ ADVERSARIAL_DOCS = [
     ("'; DROP TABLE documents; --", "en", "web"),
     ("null NULL NaN nan None", "en", "books"),
     ("a b c d e f g h i j k l m n o p q r s t u v w x y z", "en", "wiki"),
+    # NULL fields: a NULL text previously crashed the binary-file writer
+    # (None.encode), the packing kernel (int(NaN)) and the MLlib
+    # classifier fit (HashingTF on a NULL array / NULL weak label) —
+    # NULL text is an empty payload/token-list, kept, never a crash
+    (None, "en", "web"),
+    ("text with null lang", None, "web"),
+    (None, None, None),
 ]
 
 OTHER_TABLES = [t for t in TABLES if t != "documents"]
@@ -86,7 +93,7 @@ def _documents_only_pairs():
 def adversarial_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("adversarial")
     rows = [
-        (i, text, lang, source, len(text))
+        (i, text, lang, source, len(text) if text is not None else None)
         for i, (text, lang, source) in enumerate(ADVERSARIAL_DOCS)
     ]
     spark.createDataFrame(

@@ -30,7 +30,7 @@ from rws_data_ingester_spark.plans.registry import query
            event_type,
            COUNT(*)::BIGINT AS n_events,
            ROUND(SUM(value), 4) AS total_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +59,7 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
              value
       FROM events CROSS JOIN (SELECT UNNEST(generate_series(0, 3)) AS k) g
+      WHERE ts IS NOT NULL
     )
     SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*)::BIGINT AS n_events,
@@ -82,7 +83,7 @@ _SESSION_ORACLE = """
                        > INTERVAL 30 MINUTE OR
                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), sessions AS (
       SELECT user_id, ts, value,
              SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -110,8 +111,12 @@ def session_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges), and the islands form, the native form, their shared oracle,
     and the streaming twin all state it identically so the four agree on
     boundary-aligned logs (caught by the adversarial events fuzz; the
-    fixtures' microsecond timestamps never land on the boundary)."""
-    ev = Catalog(spark, sf_dir).events
+    fixtures' microsecond timestamps never land on the boundary).
+
+    NULL event time is excluded — Spark's native session_window/window
+    drop such rows, so every formulation (and the oracle) states the
+    same: a row with no timestamp belongs to no time window."""
+    ev = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(W.unboundedPreceding, 0)
     # cast("double") keeps sub-second precision (epoch seconds + fraction);

@@ -158,7 +158,7 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, ts, event_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS prev_type
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ), starts AS (
       SELECT user_id, ts, event_id, event_type FROM ordered
       WHERE prev_type IS NULL OR prev_type != event_type
@@ -183,7 +183,9 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag() pass partitioned by user; the lead() close-off then runs on
     change-points only (a fraction of the events), reusing the same
     user-keyed partitioning — AQE sees one exchange."""
-    ev = Catalog(spark, sf_dir).events
+    # NULL event time excluded on both engines: an event with no
+    # timestamp has no place on a validity timeline.
+    ev = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
     starts = (
         ev.select(

@@ -82,15 +82,17 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LAG(value)  OVER w, 4) AS prev_value,
            ROUND(LEAD(value) OVER w, 4) AS next_value,
            ROUND(FIRST_VALUE(value) OVER w, 4) AS first_value,
-           ROUND(LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(LAST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4) AS final_value
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULLS LAST pinned: a NULL event time sorts opposite by default on
+    # the two engines (Spark NULLS FIRST asc, DuckDB NULLS LAST asc)
     ev = Catalog(spark, sf_dir).events
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return ev.select(
         "event_id",
@@ -107,18 +109,19 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
-           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_so_far
     FROM events
     """,
 )
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULLS LAST pinned — see window_lag_lead
     ev = Catalog(spark, sf_dir).events
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     return ev.select(
         "event_id",
         "user_id",

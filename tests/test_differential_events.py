@@ -81,6 +81,12 @@ ADVERSARIAL_EVENTS = [
     # would propagate NaN (caught by the random fuzz, seed 89)
     (37, "2024-01-06 12:00:00.000000", 13, "click", None, '{"k": 37}'),
     (38, "2024-01-06 12:10:00.000000", 13, "purchase", 20.0, '{"k": 38}'),
+    # NULL ts / NULL user_id / all-NULL: routine in scraped logs; windows,
+    # sessionization and attribution must agree on both engines (probe:
+    # all pairs already matched — the null-ordering hardening covers it)
+    (39, None, 14, "click", 1.0, '{"k": 39}'),
+    (40, "2024-01-06 13:00:00.000000", None, "click", 2.0, '{"k": 40}'),
+    (41, None, None, None, None, None),
 ]
 
 OTHER_TABLES = [t for t in TABLES if t != "events"]

@@ -250,9 +250,13 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corrupt far-future clock in one row would kill the whole job. An
     # int64 has no such window and searchsorted semantics are identical.
     ts_us = F.unix_micros("ts").alias("ts")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        bucket, "user_id", ts_us, "value"
-    )
+    # NULL-ts clicks can never satisfy `c.ts > p.ts - 30m AND c.ts <= p.ts`
+    # (NULL predicate), so drop them Spark-side — this also guarantees the
+    # pandas kernel's click `ts` column is never NaN. NULL-ts purchases
+    # MUST survive: the oracle's LEFT JOIN emits them with 0 clicks.
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & F.col("ts").isNotNull()
+    ).select(bucket, "user_id", ts_us, "value")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         bucket, "user_id", "event_id", ts_us
     )
@@ -282,7 +286,7 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = len(purch_pdf)
             return pd.DataFrame(
                 {
-                    "user_id": purch_pdf["user_id"].astype("int64")
+                    "user_id": purch_pdf["user_id"].astype("Int64")
                     if "user_id" in purch_pdf.columns
                     else [0] * n,
                     "purchase_id": [0] * n,
@@ -307,13 +311,43 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
         empty_ts = np.array([], "int64")
         window_us = 30 * 60 * 1_000_000  # 30 minutes in epoch-micros
+        # A NULL purchase ts arrives as NaN (nullable int64 -> float64) and
+        # would crash the int64 cast. The oracle's LEFT JOIN predicate is
+        # NULL for such rows -> no matching clicks, so map NaN to a
+        # sentinel far below any real clock: both searchsorted bounds land
+        # at 0 (empty window -> 0 clicks, 0.0 value). -(2**62) is exactly
+        # float64-representable (np.where produces a float array before the
+        # int64 cast — int64-min-based sentinels round DOWN and then wrap
+        # around on `pts - window_us`, yielding negative click counts) and
+        # leaves 2**62 of headroom so the subtraction cannot underflow.
+        null_ts_sentinel = -(2**62)
         out_uid, out_pid, out_n, out_val = [], [], [], []
-        for uid, grp in purch_pdf.groupby("user_id", sort=False):
-            cts, cval = by_user.get(uid, (empty_ts, np.array([])))
-            pts = grp["ts"].to_numpy(dtype="int64")
+        # dropna=False: a NULL-user purchase is still a purchase — the
+        # oracle's LEFT JOIN emits it with 0 clicks (NULL never equi-joins),
+        # while pandas' default dropna=True would silently delete the row.
+        # NULL-user CLICKS need no such care: the clicks groupby above
+        # drops them, which matches the oracle (they can never match).
+        for uid, grp in purch_pdf.groupby("user_id", sort=False, dropna=False):
+            cts, cval = (
+                by_user.get(uid, (empty_ts, np.array([])))
+                if uid == uid  # NaN key: no click can belong to it
+                else (empty_ts, np.array([]))
+            )
+            pts_raw = grp["ts"].to_numpy()
+            if pts_raw.dtype.kind == "f":
+                pts = np.where(
+                    np.isnan(pts_raw), null_ts_sentinel, pts_raw
+                ).astype("int64")
+            else:
+                pts = pts_raw.astype("int64")
             lo_idx = np.searchsorted(cts, pts - window_us, side="right")
             hi_idx = np.searchsorted(cts, pts, side="right")
-            out_uid.append(grp["user_id"].to_numpy().astype("int64"))
+            # keep float64 (NaN-capable) when NULL user ids are present;
+            # the final pd.array(..., dtype="Int64") turns NaN into SQL NULL
+            u_raw = grp["user_id"].to_numpy()
+            out_uid.append(
+                u_raw if u_raw.dtype.kind == "f" else u_raw.astype("int64")
+            )
             out_pid.append(grp["event_id"].to_numpy().astype("int64"))
             out_n.append((hi_idx - lo_idx).astype("int64"))
             # nansum = SQL COALESCE(SUM(value), 0): NULL click values are
@@ -323,9 +357,12 @@ def cogroup_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 round(float(np.nansum(cval[l:h])), 4) if h > l else 0.0
                 for l, h in zip(lo_idx, hi_idx)
             )
+        uid_cat = np.concatenate(out_uid)
         return pd.DataFrame(
             {
-                "user_id": np.concatenate(out_uid),
+                "user_id": pd.array(uid_cat, dtype="Int64")
+                if uid_cat.dtype.kind == "f"
+                else uid_cat,
                 "purchase_id": np.concatenate(out_pid),
                 "n_prior_clicks": np.concatenate(out_n),
                 "click_value": out_val,

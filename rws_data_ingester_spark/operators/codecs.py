@@ -737,7 +737,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     # too-long/short result all mean the stream disagrees with IHDR.
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expected + 1)
-    if len(raw) != expected or dec.unconsumed_tail or dec.decompress(b"", 1):
+    if (
+        len(raw) != expected
+        or dec.unconsumed_tail
+        or dec.unused_data  # trailing garbage after a complete zlib stream
+        or dec.decompress(b"", 1)
+    ):
         raise ValueError("inflated size does not match dimensions")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)

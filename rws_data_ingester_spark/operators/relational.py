@@ -333,7 +333,17 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     ev = Catalog(spark, sf_dir).events
-    clicks = ev.filter(F.col("event_type") == "click").select(
+    # A NULL-user or NULL-ts click can never satisfy the oracle's
+    # `c.user_id = p.user_id AND c.ts <= p.ts` (NULL predicate), so drop
+    # them before the union — otherwise the window's NULL-user partition
+    # would happily carry a NULL-user click into a NULL-user purchase
+    # (window partitioning groups NULLs together; equi-join does not).
+    # NULL-key PURCHASES stay: the left join emits them with NULL click.
+    clicks = ev.filter(
+        (F.col("event_type") == "click")
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
         "user_id", "ts", F.lit(0).alias("kind"), F.col("ts").alias("click_ts"), F.lit(None).cast("long").alias("event_id")
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(

@@ -183,10 +183,20 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographic): ties are real at corpus scale, and a tie broken
     arbitrarily is retry-unstable. The oracle states the same contract
     as a ROW_NUMBER window (DuckDB's min_by lacks composite ordering
-    keys). The streaming variant lives in streaming.jobs."""
+    keys). NULL timestamps sort LAST (a clock-less row is never "the
+    first event"): Spark's struct-min would put struct(NULL, id) ahead
+    of every real row — the opposite of the oracle's default NULLS LAST
+    — so the ordering key is the NULL-free triple (ts IS NULL,
+    coalesce(ts, epoch), event_id). The streaming variant lives in
+    streaming.jobs."""
     ev = Catalog(spark, sf_dir).events
+    order_key = F.struct(
+        F.col("ts").isNull().alias("ts_is_null"),
+        F.coalesce("ts", F.to_timestamp(F.lit("1970-01-01"))).alias("ts"),
+        F.col("event_id").alias("event_id"),
+    )
     return ev.groupBy("user_id", "event_type").agg(
-        F.min_by("event_id", F.struct("ts", "event_id")).alias("first_event_id"),
+        F.min_by("event_id", order_key).alias("first_event_id"),
         ts_str(F.min("ts")).alias("first_ts"),
     )
 

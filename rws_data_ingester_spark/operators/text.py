@@ -203,10 +203,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(5)
         ]
     )
+    # concat_ws, not concat: docs shorter than 5 chars produce shifted
+    # slices of unequal length, which arrays_zip NULL-pads — concat of any
+    # NULL is NULL and xxhash64(NULL) is the constant seed, collapsing
+    # EVERY short doc to the identical fingerprint. concat_ws skips NULLs,
+    # reproducing the truncated-actual-text gram (identical to concat for
+    # docs of >= 5 chars, where no slice is padded).
     grams_col = F.transform(
         zipped,
         lambda s: F.xxhash64(
-            F.concat(s["c0"], s["c1"], s["c2"], s["c3"], s["c4"])
+            F.concat_ws("", s["c0"], s["c1"], s["c2"], s["c3"], s["c4"])
         ),
     )
     with_grams = with_chars.select("doc_id", grams_col.alias("_grams"))

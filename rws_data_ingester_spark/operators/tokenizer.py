@@ -60,7 +60,11 @@ def _merge_pair(symbols: F.Column, a: str, b: str) -> F.Column:
     regex quoting."""
     joined = F.concat(F.lit(" "), F.array_join(symbols, " "), F.lit(" "))
     merged = F.regexp_replace(joined, f"(?<= ){a} {b}(?= )", a + b)
-    return F.split(F.trim(merged), " ")
+    # split("", " ") yields [""] — preserve the empty-array identity the
+    # old aggregate-accumulator form had for zero-symbol words
+    return F.when(F.size(symbols) == 0, symbols).otherwise(
+        F.split(F.trim(merged), " ")
+    )
 
 
 def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:

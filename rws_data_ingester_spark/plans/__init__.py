@@ -176,10 +176,75 @@ ROUND4_WINDOW = (
 )
 assert len(ROUND4_WINDOW) == 50, len(ROUND4_WINDOW)
 
-# The window the driver's 50-slot gate sees THIS round. Rounds 5+ then
-# rotate the remaining round-1 re-proof tail (set ops, pivots, subqueries,
-# agg_distinct/stats families) and the rows-only tier — see COVERAGE.md.
-_ACTIVE_WINDOW = ROUND3_WINDOW
+# STAGED for round 5 (flip _ACTIVE_WINDOW when CORRECTNESS_r04 lands):
+# the 25 queries that will then be the last without ANY driver row
+# (rows-only/local tier: codecs, HTTP replay, stateful streaming, sketch
+# aggregates, reference-pipeline composites, connectors) + the 19-query
+# round-1 re-proof tail (set ops, pivot/unpivot, subqueries, distinct and
+# stats aggregate families) + 6 round-2 re-proofs of the highest-traffic
+# LLM-pipeline greens. After this window runs, all 194 registered queries
+# have at least one driver row — COVERAGE.md keeps the ledger.
+ROUND5_WINDOW = (
+    # never-driver-run tier (25) — rows-only or local-only until now
+    "multimodal_jpeg_decode",
+    "multimodal_adpcm_roundtrip",
+    "source_schema_evolution",
+    "source_json_corrupt_records",
+    "http_fanout_spots",
+    "pipeline_report_offline",
+    "stream_stateful_running_totals",
+    "stream_stream_click_attribution",
+    "agg_freq_items",
+    "agg_hll_sketch_merge",
+    "dedup_clusters",
+    "pipeline_near_dedup_remove",
+    "sample_weighted_reservoir",
+    "pipeline_pack_sequences",
+    "pipeline_training_data",
+    "pipeline_semantic_dedup",
+    "pipeline_quality_classifier",
+    "dedup_incremental_index",
+    "sink_zorder_pruning",
+    "sink_compaction",
+    "source_python_datasource",
+    "simsearch_topk_pq",
+    "bpe_vocab_train",
+    "text_span_corruption",
+    "engagement_wau_hll",
+    # round-1 re-proof tail (19)
+    "limit_offset",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "set_union_distinct",
+    "pivot_status_by_flag",
+    "unpivot_order_metrics",
+    "scalar_subquery_above_avg",
+    "in_subquery_customers",
+    "agg_distinct",
+    "distinct_rows",
+    "agg_approx_distinct_bounds",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_filtered",
+    "agg_stats",
+    "agg_approx_percentile_bounds",
+    "agg_min_max_by",
+    "agg_string_collect",
+    # round-2 re-proof (6): highest-traffic LLM-pipeline + window greens
+    "dedup_exact",
+    "simsearch_topk_exact",
+    "text_quality_scores",
+    "window_rank",
+    "scalar_json_funcs",
+    "watermark_cutoff",
+)
+assert len(ROUND5_WINDOW) == 50, len(ROUND5_WINDOW)
+
+# The window the driver's 50-slot gate sees THIS round. Round 4 flips to
+# the staged ROUND4_WINDOW (CORRECTNESS_r03: 48/48 oracle green, 2
+# rows-only ran clean). Round 5 then takes ROUND5_WINDOW — see COVERAGE.md.
+_ACTIVE_WINDOW = ROUND4_WINDOW
 
 _missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
 assert not _missing, f"active window names not registered: {_missing}"

@@ -102,18 +102,22 @@ def _stream_source_dir(sf_dir: str) -> str:
     return d
 
 
-def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Replay the events parquet as a file stream (schema-explicit —
-    streaming reads never infer)."""
+    streaming reads never infer). ``max_files_per_trigger`` splits the
+    replay into one micro-batch per N files — availableNow otherwise
+    swallows the whole directory in a single batch, which can never
+    exercise cross-batch state or lateness semantics in tests."""
     # Defensive: the caller's session may not carry our session.py defaults
     # (the driver's verify harness builds its own). Both are runtime-settable.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = (
-        spark.readStream.schema(events_schema(sf_dir))
-        .format("parquet")
-        .load(_stream_source_dir(sf_dir))
-    )
+    reader = spark.readStream.schema(events_schema(sf_dir)).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(_stream_source_dir(sf_dir))
     return normalize_event_ts(raw)
 
 
@@ -234,13 +238,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stateful_running_totals(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Custom stateful per-key operator: running per-user totals kept in
     grouped state across micro-batches (applyInPandasWithState)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ev = events_stream(spark, sf_dir)
+    ev = events_stream(spark, sf_dir, max_files_per_trigger)
 
     def update(key, pdfs, state: GroupState):
         total, count = state.get if state.exists else (0.0, 0)
@@ -253,14 +259,19 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        # Project away `ts` after the watermark node: the kernel only reads
-        # `value`, and a timestamp column crossing Arrow→pandas is cast to
-        # datetime64[ns], so one corrupt far-future clock (> 2262-04-11)
-        # would kill the whole query. The EventTimeWatermark node stays
-        # upstream of the projection, so late-data semantics are unchanged,
-        # and the Arrow transfer per group is narrower.
-        ev.withWatermark("ts", "1 day")
-        .select("user_id", "value")
+        # Deliberately NO watermark and NO event-time column: running
+        # totals over the COMPLETE history process every event regardless
+        # of lateness, so a late-row drop filter would be wrong here, and
+        # with NoTimeout state a watermark bounds nothing. (An earlier
+        # form kept withWatermark upstream of this projection — but
+        # FlatMapGroupsWithStateExec only builds its late-row filter when
+        # the watermarked column survives into its child output, so that
+        # watermark silently did nothing; stating "all events count" is
+        # the honest contract, pinned by the multi-batch lateness test.)
+        # Keeping `ts` out of the select also keeps pandas'
+        # datetime64[ns] range out of the Arrow path: one corrupt
+        # far-future clock (> 2262-04-11) would kill the whole query.
+        ev.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -343,11 +354,11 @@ def stateful_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = events_stream(spark, sf_dir)
     return (
-        # Same `ts` projection as the applyInPandasWithState form: keep the
-        # watermark node, keep pandas' datetime64[ns] range limit out of
-        # the Arrow path.
-        ev.withWatermark("ts", "1 day")
-        .select("user_id", "value")
+        # Same contract as the applyInPandasWithState form: no watermark
+        # (all events count toward the running totals; timeMode="None"
+        # keeps no event-time state anyway) and no `ts` in the Arrow path
+        # (pandas' datetime64[ns] range limit).
+        ev.select("user_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
             RunningTotals(),

@@ -388,6 +388,35 @@ def _bomb_png(w: int, h: int, idat_raw: bytes) -> bytes:
     )
 
 
+def test_png_rejects_trailing_garbage_after_complete_stream():
+    """A crafted IDAT whose zlib stream inflates to EXACTLY the expected
+    size, followed by trailing garbage bytes: the garbage lands in
+    ``dec.unused_data`` (not unconsumed_tail), which the validator must
+    reject — the stream disagrees with what IHDR promised."""
+    import zlib as _z
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(4))
+    idat = _z.compress(raw) + b"GARBAGE-AFTER-STREAM"
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        codecs.decode_png(payload)
+    # the same stream WITHOUT the garbage decodes fine (guard is precise)
+    clean = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.decode_png(clean), img)
+
+
 def test_png_rejects_bomb_dimensions_promptly():
     import time
 

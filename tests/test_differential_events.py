@@ -87,6 +87,17 @@ ADVERSARIAL_EVENTS = [
     (39, None, 14, "click", 1.0, '{"k": 39}'),
     (40, "2024-01-06 13:00:00.000000", None, "click", 2.0, '{"k": 40}'),
     (41, None, None, None, None, None),
+    # NULL-ts click for a user who HAS purchases: event 39's NULL-ts
+    # click hashed to a purchase-free cogroup bucket, so the unix_micros
+    # NaN->int64 crash went unexercised (caught by the round-3 advice).
+    # User 13 owns purchase 38, so this click shares its bucket.
+    (42, None, 13, "click", 3.0, '{"k": 42}'),
+    # NULL-ts purchase: the attribution LEFT JOIN predicate is NULL ->
+    # the row must still be EMITTED with 0 clicks / 0.0 value
+    (43, None, 12, "purchase", 10.0, '{"k": 43}'),
+    # NULL-user purchase: pandas groupby(dropna=True) would silently
+    # delete the row; the oracle emits it (NULL never equi-joins)
+    (44, "2024-01-06 13:30:00.000000", None, "purchase", 5.0, '{"k": 44}'),
 ]
 
 OTHER_TABLES = [t for t in TABLES if t != "events"]

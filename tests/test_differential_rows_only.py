@@ -69,7 +69,7 @@ def adversarial_dir(spark, tmp_path_factory):
 
     spark.createDataFrame(
         [
-            (i, text, lang, source, len(text))
+            (i, text, lang, source, len(text) if text is not None else None)
             for i, (text, lang, source) in enumerate(ADVERSARIAL_DOCS)
         ],
         "doc_id long, text string, lang string, source string, n_chars long",

@@ -84,6 +84,32 @@ def test_round4_staged_window_is_well_formed():
     assert not reproved, f"round-4 re-proof slots never checked in r01: {reproved}"
 
 
+def test_round5_staged_window_is_well_formed():
+    """ROUND5_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
+    after CORRECTNESS_r04): 50 registered names, no overlap with the
+    round-4 window, its first 25 slots are queries with no driver row in
+    r01∪r02∪r03 (the final never-checked tier), and the re-proof tail
+    re-checks queries already green in an earlier round."""
+    import json
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND4_WINDOW, ROUND5_WINDOW
+
+    assert len(ROUND5_WINDOW) == 50
+    missing = [n for n in ROUND5_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert not set(ROUND5_WINDOW) & set(ROUND4_WINDOW)
+
+    repo = Path(__file__).resolve().parents[1]
+    seen: set[str] = set()
+    for rnd in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
+        seen |= set(json.loads((repo / rnd).read_text()))
+    dark = [n for n in ROUND5_WINDOW[:25] if n in seen]
+    assert not dark, f"round-5 dark slots already checked: {dark}"
+    reproved = [n for n in ROUND5_WINDOW[25:] if n not in seen]
+    assert not reproved, f"round-5 re-proof slots never checked before: {reproved}"
+
+
 def test_round3_window_targets_only_driver_dark_queries():
     """Every slot in the round-3 window is spent on a query with no green
     driver row in CORRECTNESS_r01/r02 — the window exists to close the

@@ -145,6 +145,28 @@ def test_quality_classifier_learns_weak_labels(spark):
     assert acc >= 0.7, f"classifier should learn its own weak labels, acc={acc}"
 
 
+def test_fingerprint_keeps_short_docs_distinct(spark, tmp_path):
+    """Docs shorter than the 5-char gram width hash their truncated
+    actual text (concat_ws skips the NULL zip padding) — 'a', 'ab', 'ha'
+    and '' must all get DISTINCT fingerprints, not collapse to the
+    constant xxhash64(NULL) seed gram."""
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    d = tmp_path / "short_docs"
+    spark.createDataFrame(
+        [(0, "a", "en", "s", 1), (1, "ab", "en", "s", 2),
+         (2, "ha", "en", "s", 2), (3, "", "en", "s", 0),
+         (4, "abcde", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: r["fingerprint"]
+           for r in REGISTRY["text_fingerprint"].fn(spark, str(d)).collect()}
+    non_empty = [out[i] for i in (0, 1, 2, 4)]
+    assert len(set(non_empty)) == 4, out
+    # 'a' vs 'ab': the truncated gram is the actual text, so they differ
+    assert out[0] != out[1]
+
+
 def test_repetition_signals_are_shuffle_free(spark):
     """The sorted run-length top-bigram scan keeps text_repetition at ZERO
     exchanges, and pipeline_quality_filter at exactly one (the final

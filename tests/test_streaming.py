@@ -71,6 +71,60 @@ def test_stateful_running_totals(spark):
     assert _multiset(final) == _multiset(batch)
 
 
+def test_stateful_totals_count_late_events_across_batches(spark, tmp_path):
+    """Pins the documented contract of stateful_running_totals: there is
+    deliberately NO watermark, so an event arriving in a later micro-batch
+    with an event time far BEHIND the previous batch still counts toward
+    the totals. (An earlier form carried a withWatermark node whose
+    late-row filter was silently disabled by the downstream projection —
+    this test makes the all-events-count semantics explicit and would
+    catch a future regression that starts dropping late rows.)"""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "late_events"
+    ev_dir = str(d / "events.parquet")
+    schema = "event_id long, ts_s string, user_id long, event_type string, value double, props string"
+
+    def write_file(rows, name):
+        pdf = spark.createDataFrame(rows, schema).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).toPandas()
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(ev_dir, exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(pdf), f"{ev_dir}/{name}")
+
+    # batch 1: recent event (advances any event-time clock to June)
+    write_file([(0, "2024-06-01 00:00:00", 1, "click", 10.0, "{}")], "part-0001.parquet")
+    # batch 2: five months LATE relative to batch 1
+    write_file([(1, "2024-01-01 00:00:00", 1, "click", 5.0, "{}")], "part-0002.parquet")
+    now = time.time()
+    os.utime(f"{ev_dir}/part-0001.parquet", (now - 60, now - 60))
+    os.utime(f"{ev_dir}/part-0002.parquet", (now, now))
+
+    out = jobs.run_to_memory(
+        jobs.stateful_running_totals(spark, str(d), max_files_per_trigger=1),
+        output_mode="update",
+    )
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+    rows = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    assert rows == {1: (2, 15.0)}, rows
+    # the replay really was multi-batch: update mode emits one row per
+    # key per batch, so user 1 must appear twice in the raw output
+    assert out.filter(F.col("user_id") == 1).count() == 2
+
+
 def test_scheduled_refresh_overwrites_idempotently(spark, tmp_path):
     """The cron-analog: two availableNow passes over the same input must
     leave the same sink contents (idempotent overwrite, reference :295)."""

@@ -152,6 +152,21 @@ def test_bpe_matches_reference_implementation(spark):
     assert got == expected
 
 
+def test_merge_pair_preserves_empty_symbol_arrays(spark):
+    """array_join([]) -> "" -> split("", " ") -> [""]; the guard must map
+    an empty symbols array back to [], not to a single empty-string
+    symbol (a shape change vs the old aggregate-accumulator form)."""
+    from pyspark.sql import functions as F
+
+    from rws_data_ingester_spark.operators.tokenizer import _merge_pair
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c"],), ([],)], "symbols array<string>"
+    ).select(_merge_pair(F.col("symbols"), "a", "b").alias("out"))
+    rows = sorted((r["out"] for r in df.collect()), key=len)
+    assert rows == [[], ["ab", "c"]]
+
+
 def test_bpe_deterministic_across_runs(spark):
     q = REGISTRY["bpe_vocab_train"]
     a = [tuple(r) for r in q.fn(spark, SF_DIR).orderBy("merge_rank").collect()]

@@ -18,9 +18,18 @@ metadata struct. Two codec tiers:
   ``multimodal_adpcm_roundtrip``; the decoder is pinned against a
   hand-assembled byte-level JPEG in tests (so encoder/decoder bugs
   cannot cancel).
-- REMAINING stub: MP3 (a polyphase filterbank + psychoacoustic model is
-  out of scope) — ``decode_audio`` raises NotImplementedError for it;
-  ``decode_stub_features`` (byte histogram) keeps that plumbing tested.
+- MP3: FORMALLY DESCOPED (SURVEY §2.10, round 4) — ``decode_audio``
+  raises NotImplementedError for it; ``decode_stub_features`` (byte
+  histogram) keeps that plumbing tested. Rationale: the ISO 11172-3
+  Layer III Huffman code tables (34 of them) and the 512-coefficient
+  synthesis window are large tabulated constants that cannot be
+  re-derived from first principles, and this environment carries no
+  normative tables or reference decoder to pin an implementation
+  against — a from-memory decoder could be silently wrong with no way
+  to detect it, which is strictly worse than a declared stub. (JPEG
+  was implementable because T.81 Annex K prints its tables and the
+  decoder is pinned to hand-assembled byte streams; the compressed-
+  AUDIO codec row is covered by the real IMA ADPCM pair.)
 
 The fixture corpus has no binary table, so payloads are manufactured from
 ``documents.text`` (utf-8 bytes) — the plumbing is identical for real

@@ -15,6 +15,11 @@ Scale design:
   a duplicate cluster is a near-clique because every member collides
   with the root in some band — so convergence takes 2-4 rounds in
   practice, independent of corpus size.
+- Per-round state is one label per EDGE-TOUCHING vertex only; isolated
+  vertices (the overwhelming majority of a corpus) are attached as
+  self-components by a single broadcast anti-join at the end. Per-round
+  shuffle volume therefore scales with the candidate set, not the
+  corpus.
 - CC input is ``lsh_star_edges`` (member → bucket-min), not the clique
   pairs: same components (equivalence-tested), but edge count is linear
   instead of quadratic in bucket size — one hot 10k-member bucket
@@ -67,10 +72,14 @@ def connected_components(
     sym = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = sym.select(F.col("src").alias("id")).distinct()
-    if vertices is not None:
-        labels = labels.union(vertices.toDF("id")).distinct()
-    labels = labels.select("id", F.col("id").alias("component"))
+    # Propagate over EDGE-TOUCHING vertices only. Isolated vertices are
+    # their own component by definition and never change, so carrying
+    # them through every round just multiplies per-round shuffle volume:
+    # a near-dup graph touches a few percent of the corpus, and labels
+    # must scale with the CANDIDATE set, not the corpus — they are
+    # attached as self-components once, at the end.
+    endpoints = sym.select(F.col("src").alias("id")).distinct()
+    labels = endpoints.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=False)
     sym = sym.localCheckpoint(eager=False)
 
@@ -79,6 +88,8 @@ def connected_components(
     # at the fixpoint — one cheap scan of the checkpointed labels per
     # round instead of a join-and-compare shuffle.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    if prev_sum is None:  # no edges: every vertex is isolated
+        return _with_isolated(labels, vertices, endpoints)
     for _ in range(max_iter):
         nbr_labels = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -92,9 +103,25 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
-            return labels
+            return _with_isolated(labels, vertices, endpoints)
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _with_isolated(
+    labels: DataFrame, vertices: DataFrame | None, endpoints: DataFrame
+) -> DataFrame:
+    """Union the propagated labels with self-components for vertices that
+    touch no edge (one anti-join at the end instead of dragging the whole
+    corpus through every propagation round)."""
+    if vertices is None:
+        return labels
+    isolated = (
+        vertices.toDF("id").distinct().join(endpoints, "id", "left_anti")
+    )
+    return labels.union(
+        isolated.select("id", F.col("id").alias("component"))
+    )
 
 
 @query("dedup_clusters", oracle=None)  # minhash-dependent candidate set → rows-only

@@ -89,7 +89,7 @@ def connected_components(
     # round instead of a join-and-compare shuffle.
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     if prev_sum is None:  # no edges: every vertex is isolated
-        return _with_isolated(labels, vertices, endpoints)
+        return _with_isolated(labels, vertices)
     for _ in range(max_iter):
         nbr_labels = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -103,21 +103,29 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
-            return _with_isolated(labels, vertices, endpoints)
+            return _with_isolated(labels, vertices)
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def _with_isolated(
-    labels: DataFrame, vertices: DataFrame | None, endpoints: DataFrame
-) -> DataFrame:
+def _with_isolated(labels: DataFrame, vertices: DataFrame | None) -> DataFrame:
     """Union the propagated labels with self-components for vertices that
     touch no edge (one anti-join at the end instead of dragging the whole
-    corpus through every propagation round)."""
+    corpus through every propagation round).
+
+    The anti-join side must be the CHECKPOINTED ``labels`` — whose id set
+    equals the edge-endpoint set by construction — not the pre-checkpoint
+    ``endpoints`` frame: that lineage reaches back through the whole edge
+    pipeline (MinHash → LSH for the dedup queries), so using it here would
+    re-execute the corpus-wide signature computation once per consumption
+    of the result, and a nondeterministic edge input could even disagree
+    with the propagation actually performed."""
     if vertices is None:
         return labels
     isolated = (
-        vertices.toDF("id").distinct().join(endpoints, "id", "left_anti")
+        vertices.toDF("id")
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
     )
     return labels.union(
         isolated.select("id", F.col("id").alias("component"))

@@ -733,8 +733,10 @@ def decode_png(payload: bytes) -> np.ndarray:
     expected = h * (stride + 1)
     # Bounded inflate: decompress at most expected+1 bytes so a zlib bomb
     # (kilobytes of IDAT inflating to gigabytes) is detected at the cap,
-    # never materialized. unused_data/unconsumed_tail non-empty or a
-    # too-long/short result all mean the stream disagrees with IHDR.
+    # never materialized. unused_data/unconsumed_tail non-empty, a
+    # too-long/short result, or a stream that never reached its terminator
+    # (eof False — e.g. the adler32 trailer truncated away) all mean the
+    # stream disagrees with IHDR or is incomplete.
     dec = zlib.decompressobj()
     raw = dec.decompress(bytes(idat), expected + 1)
     if (
@@ -742,6 +744,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         or dec.unconsumed_tail
         or dec.unused_data  # trailing garbage after a complete zlib stream
         or dec.decompress(b"", 1)
+        or not dec.eof  # truncated stream: adler32 trailer missing
     ):
         raise ValueError("inflated size does not match dimensions")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)

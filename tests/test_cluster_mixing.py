@@ -39,6 +39,35 @@ def test_cc_disjoint_and_singletons(spark):
     assert comp[99] == 99  # isolated vertex is its own component
 
 
+def test_cc_result_does_not_reexecute_edge_pipeline(spark):
+    """Consuming the connected_components result must NOT re-run the edge
+    source: for the dedup queries that lineage is the corpus-wide
+    MinHash → LSH computation. An accumulator-probed edge source pins
+    that the final isolated-vertex anti-join reads the CHECKPOINTED
+    labels, not a pre-checkpoint frame whose lineage reaches the edges."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def probe(x):
+        acc.add(1)
+        return True
+
+    probe_udf = F.udf(probe, "boolean")
+    edf = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    ).where(probe_udf("id_a"))
+    vdf = spark.createDataFrame([(v,) for v in [1, 2, 3, 10, 11, 99]], ["id"])
+    out = connected_components(edf, vertices=vdf)
+    built = acc.value  # edge evaluations spent building/converging
+    assert built > 0
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    comp2 = {r["id"]: r["component"] for r in out.collect()}
+    assert acc.value == built, (
+        f"edge source re-executed on consumption: {acc.value} != {built}"
+    )
+    assert comp == comp2
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
 def test_star_edges_linear_in_bucket_size(spark):
     """A k-member bucket must emit O(k) star edges (member → bucket min),
     not the O(k²) clique pairs — the hot-bucket scale guarantee. With n

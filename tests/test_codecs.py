@@ -417,6 +417,28 @@ def test_png_rejects_trailing_garbage_after_complete_stream():
     assert np.array_equal(codecs.decode_png(clean), img)
 
 
+def test_png_rejects_truncated_zlib_stream_missing_adler32():
+    """A zlib stream cut off right before its 4-byte adler32 trailer
+    still inflates to exactly the expected size with empty
+    unconsumed_tail/unused_data — only ``dec.eof`` exposes that the
+    stream never reached its terminator and the mandatory integrity
+    checksum was never verified. The validator must reject it."""
+    import zlib as _z
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(4))
+    idat = _z.compress(raw)[:-4]  # strip the adler32 trailer
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        codecs.decode_png(payload)
+
+
 def test_png_rejects_bomb_dimensions_promptly():
     import time
 

@@ -7,9 +7,14 @@ documents table runs on both engines over this corpus with the driver's
 own compare rules — so a Spark↔DuckDB divergence on degenerate data
 surfaces here before a driver regeneration of the fixtures can.
 
-Deliberately excluded characters where the ENGINES' documented semantics
-differ (not our bug): combining marks / ZWJ emoji (DuckDB `length`
-counts grapheme clusters, Spark counts codepoints).
+Round 4 lifts the earlier combining-mark/ZWJ exclusion: a direct probe
+showed BOTH engines count codepoints, not grapheme clusters
+(`length('👩‍🚀') = 3` on DuckDB and Spark alike), so the corpus now
+carries a Unicode-torture block — NFC/NFD twins, combining marks, ZWJ
+emoji, astral-plane (surrogate-pair) letters, bidi/zero-width controls,
+and the case-folding tricksters (ß İ ﬁ ς) whose lower/upper DO diverge
+across engines (DuckDB upper('ß')='ẞ', Java/Spark='SS') but are safe
+here because no documents-only oracle pair applies lower()/upper().
 """
 
 from __future__ import annotations
@@ -59,6 +64,28 @@ ADVERSARIAL_DOCS = [
     (None, "en", "web"),
     ("text with null lang", None, "web"),
     (None, None, None),
+    # --- Unicode-torture block (round 4) ---
+    # NFC/NFD twins: composed é (U+00E9) vs e + combining acute (U+0301).
+    # Distinct codepoint sequences → distinct tokens on BOTH engines; no
+    # engine normalizes, so grouping/dedup/hashing must keep them apart.
+    ("café café café café", "fr", "web"),
+    # bare combining marks and stacked diacritics (Zalgo-lite)
+    ("á ȩ́̈ combining m̀ár̂k̃s", "en", "wiki"),
+    # ZWJ emoji families + astronaut (each ZWJ sequence is 3+ codepoints)
+    ("\U0001f469‍\U0001f680 flies \U0001f680 with \U0001f468‍\U0001f469‍\U0001f467‍\U0001f466", "en", "web"),
+    # astral-plane letters: every char is a surrogate pair in UTF-16 —
+    # stresses substring/offset math in chunkers and UTF-8 kernels
+    ("\U0001d518\U0001d52b\U0001d526\U0001d520\U0001d52c\U0001d521\U0001d522 \U0001d565\U0001d556\U0001d569\U0001d565 \U0001d4bb\U0001d4b6\U0001d4c3\U0001d4b8\U0001d4ce", "en", "books"),
+    # RTL scripts with explicit bidi marks (LRM/RLM) between tokens
+    ("عربي ‏mixed‎ עברית rtl", "ar", "web"),
+    # zero-width space / joiner / non-joiner INSIDE tokens, BOM prefix
+    ("﻿zero​width​space joined‍token dis‌joint", "en", "wiki"),
+    # case-folding tricksters — safe: no docs-only pair case-folds
+    ("ß İ ı ﬁ ǅ ŉ Σσς straße", "de", "books"),
+    # non-ASCII whitespace zoo: NBSP, ideographic space, thin space —
+    # NOT ASCII \s, so tokenizers must treat them as token chars or
+    # split consistently on both engines
+    ("nbsp bound ideo　graphic thin space", "en", "web"),
 ]
 
 OTHER_TABLES = [t for t in TABLES if t != "documents"]

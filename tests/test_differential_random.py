@@ -48,6 +48,13 @@ _TOKENS = [
     "the", "data", "spark", "query", "点击", "café", "naïve", "123", "a",
     "repeat", "repeat", "UPPER", "mixed-Case", "3.14", "-42", "%", "_",
     "semi;colon", "x" * 40, "déjà",
+    # unicode-torture tier (round 4): the NFD twin of the NFC "café"
+    # above (distinct codepoints, identical glyphs — must stay distinct
+    # in grouping/dedup on both engines), a ZWJ emoji sequence, an
+    # astral-plane (surrogate-pair) word, zero-width-space inside a
+    # token, and case-folding tricksters (safe: no oracle case-folds)
+    "café", "\U0001f469‍\U0001f680", "\U0001d54a\U0001d56d\U0001d552\U0001d563\U0001d558",
+    "zero​width", "straße", "ςΣσ",
 ]
 
 

@@ -45,6 +45,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # for. UTC: timestamp rendering must match the DuckDB oracle (naive-UTC).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # ANSI on is the semantics every oracle pair was proven under (error
+    # on overflow/bad cast, with try_* where degradation is intended). A
+    # cluster provisioned with ansi.enabled=false would silently flip
+    # CAST/arithmetic failures to NULLs and drift from the oracle, so pin
+    # it per-load like the TZ, not only in the session factory.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         df = normalize_event_ts(df)

@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # ANSI semantics are part of the engine contract (all oracle
+        # parity was proven under ANSI on — Spark 4's default); pin it so
+        # a cluster-level ansi=false override can't flip CAST/arithmetic
+        # errors into silent NULL drift.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,

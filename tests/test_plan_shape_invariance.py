@@ -7,10 +7,12 @@ order, first-row arbitration, accumulator traversal) would pass every
 same-config differential suite AND the driver's oracle check, then drift
 the day the config changes.
 
-Every registered BATCH query runs three times at sf0.001 — session default,
-shuffle.partitions=1 (the no-parallelism degenerate), and
+Every registered BATCH query runs four times at sf0.001 — session default,
+shuffle.partitions=1 (the no-parallelism degenerate),
 shuffle.partitions=13 with AQE off (a prime that divides nothing, no
-runtime coalescing) — and the three value-multisets must be identical.
+runtime coalescing), and autoBroadcastJoinThreshold=-1 (every un-hinted
+join demoted to sort-merge/shuffled-hash) — and the value-multisets must
+be identical.
 Floats are canonicalized at 6 significant digits (the random-fuzz rule):
 partial-aggregation order legitimately changes double summation by ulps
 across partition counts; anything beyond ulp noise is a real dependence.
@@ -48,6 +50,15 @@ VARIANTS = [
             "spark.sql.adaptive.enabled": "false",
         },
     ),
+    # Broadcast disabled: every un-hinted join falls back to sort-merge /
+    # shuffled-hash. Production clusters tune autoBroadcastJoinThreshold
+    # (and AQE re-arbitrates it at runtime); a result that depends on the
+    # join STRATEGY — not the join semantics — is a correctness bug that
+    # same-threshold suites can never see. Explicit F.broadcast() hints
+    # are unaffected (hints outrank the threshold), which is itself part
+    # of the contract being pinned: hinted plans keep their shape, values
+    # stay identical either way.
+    ("nobroadcast", {"spark.sql.autoBroadcastJoinThreshold": "-1"}),
 ]
 
 

@@ -1,0 +1,58 @@
+"""Session-semantics contract: the engine's results must not depend on
+the CALLER's session configuration. The driver's verify harness hands
+queries a vanilla SparkSession; a production notebook could hand one with
+ansi=false (legacy NULL-on-error casts) or a non-UTC session timezone.
+`catalog.load_table` re-pins both per load — these tests pin that the
+re-pin actually happens and that it makes query results invariant to the
+caller's starting confs.
+"""
+
+from __future__ import annotations
+
+from rws_data_ingester_spark.catalog import load_table
+from rws_data_ingester_spark.plans import REGISTRY
+from tests.conftest import SF_DIR, rows_to_multiset
+
+HOSTILE_CONFS = {
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "Asia/Kathmandu",  # +05:45 — catches any half-hour rounding too
+}
+
+PINNED = {
+    "spark.sql.ansi.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def _with_hostile_confs(spark, fn):
+    saved = {k: spark.conf.get(k) for k in HOSTILE_CONFS}
+    try:
+        for k, v in HOSTILE_CONFS.items():
+            spark.conf.set(k, v)
+        return fn()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_load_table_repins_semantics_confs(spark):
+    def probe():
+        load_table(spark, SF_DIR, "nation")
+        return {k: spark.conf.get(k) for k in PINNED}
+
+    assert _with_hostile_confs(spark, probe) == PINNED
+
+
+def test_query_results_invariant_to_caller_session_confs(spark):
+    # One timestamp-rendering query (TZ-sensitive if unpinned) and one
+    # cast/arithmetic-heavy query (ansi-sensitive if unpinned).
+    for name in ("tumbling_window_hourly", "q1_pricing_summary"):
+        fn = REGISTRY[name].fn
+
+        def canon():
+            df = fn(spark, SF_DIR)
+            return rows_to_multiset(df.columns, [tuple(r) for r in df.collect()], sig=6)
+
+        base = canon()
+        hostile = _with_hostile_confs(spark, canon)
+        assert hostile == base, f"{name}: result depends on caller session confs"

@@ -1,0 +1,52 @@
+"""Portable cross-engine rounding.
+
+Spark's ``round()`` on DOUBLE parses the value's SHORTEST DECIMAL
+representation (``Double.toString`` → ``BigDecimal``, HALF_UP), while
+DuckDB (and C/C++ ``std::round``-based engines generally) round the
+BINARY value — so the engines disagree whenever a double and its
+shortest decimal repr sit on opposite sides of a decimal halfway point.
+Concrete case (found by the seeded differential fuzz, seed 4026):
+``AVG`` of quarter-multiple money over 10 rows = the double nearest
+1236.475, whose binary value is a hair BELOW the halfway but whose
+shortest repr is exactly "1236.475" — Spark's round(…, 2) says 1236.48,
+DuckDB says 1236.47. Not ulp noise: a real 0.01 divergence that no
+significant-digit canonicalization can absorb, and discrete value pools
+(money in cents/quarters, integer counts) hit it at practical rates.
+
+``pround`` computes round-half-away-from-zero in pure IEEE arithmetic —
+``sign(x) * floor(|x| * 10^d + 0.5) / 10^d`` — which is bit-for-bit what
+DuckDB's ``round(x, d)`` produces (verified exhaustively in
+tests/test_rounding_parity.py over 120k boundary-heavy values at every
+scale used in this repo). Every rounded column the engine emits uses it,
+so a rounded result compares exactly against any binary-rounding oracle.
+
+The floor is spelled ``y - y % 1.0`` (exact for y ≥ 0: the remainder is
+computed without rounding and the subtraction cancels exactly) rather
+than ``F.floor`` because Spark's floor on DOUBLE casts to BIGINT, which
+overflows for |x|·10^d ≥ 2^63 and errors under ANSI. Above 2^53 a double
+has no fractional digits at all, so rounding is the identity — returned
+directly, which also covers ±Inf; NaN propagates through the same guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 2^53: smallest magnitude where doubles are integer-valued (ulp = 2).
+_INTEGRAL = 9007199254740992.0
+
+
+def pround(col: Column | str, scale: int = 0) -> Column:
+    """Round-half-away-from-zero on a DOUBLE column, bit-identical to
+    DuckDB's ``round(col, scale)``. NULL→NULL, NaN→NaN, ±Inf→±Inf;
+    -0.0 outputs are normalized to 0.0 (matching ``F.round``, whose
+    BigDecimal path cannot produce -0.0 — oracles add ``+ 0.0`` where
+    a negative can round to zero)."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.lit(float(10**scale))
+    y = F.abs(c) * p + F.lit(0.5)
+    mag = (y - y % F.lit(1.0)) / p
+    return F.when(F.isnan(c) | (F.abs(c) >= F.lit(_INTEGRAL)), c).otherwise(
+        F.signum(c) * mag + F.lit(0.0)
+    )

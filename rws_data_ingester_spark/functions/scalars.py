@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.functions.timefmt import ts_str
 from rws_data_ingester_spark.plans.registry import query
 
@@ -128,7 +129,7 @@ def scalar_string_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("n/a")).alias(
             "seg_or_na"
         ),
-        F.when(F.col("c_acctbal") > 0, F.round("c_acctbal", 2)).alias("pos_bal"),
+        F.when(F.col("c_acctbal") > 0, pround("c_acctbal", 2)).alias("pos_bal"),
         F.when(F.col("c_acctbal") >= 0, "credit").otherwise("debit").alias("side"),
         F.regexp_replace("c_name", "[0-9]+", "#").alias("name_hashed"),
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
@@ -186,25 +187,25 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_extendedprice", 1).alias("price_r1"),
-        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 4).alias("abs_diff"),
+        pround("l_extendedprice", 1).alias("price_r1"),
+        pround(F.abs(F.col("l_extendedprice") - 1000.0), 4).alias("abs_diff"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
-        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        pround(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
         # ln/sqrt domains are guarded identically on both engines: DuckDB
         # ERRORS on ln(x<=0) / sqrt(x<0) where Spark yields NULL/NaN.
-        F.when(F.col("l_extendedprice") > 0, F.round(F.log("l_extendedprice"), 6)).alias(
+        F.when(F.col("l_extendedprice") > 0, pround(F.log("l_extendedprice"), 6)).alias(
             "price_ln"
         ),
-        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
-        F.when(F.col("l_extendedprice") >= 0, F.round(F.sqrt("l_extendedprice"), 6)).alias(
+        pround(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.when(F.col("l_extendedprice") >= 0, pround(F.sqrt("l_extendedprice"), 6)).alias(
             "price_sqrt"
         ),
         (F.col("l_linenumber") % 3).cast("long").alias("line_mod"),
-        F.round(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
-        F.round(F.least("l_discount", "l_tax"), 4).alias("min_rate"),
+        pround(F.greatest("l_discount", "l_tax"), 4).alias("max_rate"),
+        pround(F.least("l_discount", "l_tax"), 4).alias("min_rate"),
         F.signum(F.col("l_extendedprice") - 1000.0).alias("price_sign"),
-        F.round(F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1), 6).alias(
+        pround(F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1), 6).alias(
             "qty_per_prev_line"
         ),
         F.expr("try_divide(l_orderkey, l_linenumber - 1)").cast("long").alias("key_div"),
@@ -262,7 +263,7 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.timestamp_add("DAY", F.lit(30), F.col("o_orderdate"))).alias("due_date"),
         F.unix_timestamp("o_orderdate").alias("order_epoch"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date_str"),
-        F.round(
+        pround(
             F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")) / 30.4375, 4
         ).alias("approx_months"),
         F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
@@ -306,11 +307,11 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(F.col("embedding")[0].cast("double"), 6).alias("first_elem"),
-        F.round(F.expr("aggregate(transform(embedding, x -> cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x)"), 4).alias("vec_sum"),
-        F.round(F.array_max(dbl), 6).alias("vec_max"),
-        F.round(F.array_min(dbl), 6).alias("vec_min"),
-        F.round(
+        pround(F.col("embedding")[0].cast("double"), 6).alias("first_elem"),
+        pround(F.expr("aggregate(transform(embedding, x -> cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x)"), 4).alias("vec_sum"),
+        pround(F.array_max(dbl), 6).alias("vec_max"),
+        pround(F.array_min(dbl), 6).alias("vec_min"),
+        pround(
             F.expr(
                 "aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
                 " transform(embedding, x -> cast(x as double)), (a, b) -> a * b),"
@@ -318,7 +319,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("norm_sq"),
-        F.round(
+        pround(
             F.expr(
                 "aggregate(transform(embedding, x -> abs(cast(x as double))),"
                 " cast(0.0 as double), (acc, x) -> acc + x)"

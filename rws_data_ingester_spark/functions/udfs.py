@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 
@@ -89,7 +90,7 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority",
-            F.round("gm_raw", 2).alias("geo_mean_price"),
+            pround("gm_raw", 2).alias("geo_mean_price"),
             "n_orders",
         )
     )

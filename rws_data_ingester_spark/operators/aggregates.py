@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 
@@ -39,10 +40,10 @@ def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        pround(F.min("l_extendedprice"), 2).alias("min_price"),
+        pround(F.max("l_extendedprice"), 2).alias("max_price"),
     )
 
 
@@ -109,7 +110,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        pround(F.sum("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -126,7 +127,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).lineitem
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
     )
 
 
@@ -169,10 +170,10 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).orders
     return o.groupBy("o_orderpriority").agg(
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
-        F.round(
+        pround(
             F.coalesce(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), F.lit(0.0)), 2
         ).alias("sum_finished"),
-        F.round(
+        pround(
             F.coalesce(F.avg(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))), F.lit(0.0)), 4
         ).alias("avg_big"),
     )
@@ -194,10 +195,10 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB prefer percentile_approx (see agg_approx_percentile)."""
     c = Catalog(spark, sf_dir).customer
     return c.groupBy("c_mktsegment").agg(
-        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
-        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
-        F.round(F.median("c_acctbal"), 4).alias("med_bal"),
-        F.round(F.percentile("c_acctbal", 0.9), 4).alias("p90_bal"),
+        pround(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        pround(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        pround(F.median("c_acctbal"), 4).alias("med_bal"),
+        pround(F.percentile("c_acctbal", 0.9), 4).alias("p90_bal"),
     )
 
 
@@ -262,7 +263,7 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").agg(
         F.max_by("o_orderkey", ordk).alias("biggest_order"),
         F.min_by("o_orderkey", ordk).alias("smallest_order"),
-        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        pround(F.max("o_totalprice"), 2).alias("max_price"),
     )
 
 
@@ -324,11 +325,11 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield -0.0 in one engine and +0.0 in the other, which hash-differ."""
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        (F.round(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("qty_price_corr"),
-        (F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2) + 0.0).alias(
+        (pround(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("qty_price_corr"),
+        (pround(F.covar_samp("l_quantity", "l_extendedprice"), 2) + 0.0).alias(
             "qty_price_covar"
         ),
-        (F.round(F.covar_pop("l_discount", "l_tax"), 6) + 0.0).alias("disc_tax_covar"),
+        (pround(F.covar_pop("l_discount", "l_tax"), 6) + 0.0).alias("disc_tax_covar"),
     )
 
 
@@ -383,10 +384,10 @@ def agg_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per_nation.agg(F.sum("rev").alias("total"))
     return per_nation.crossJoin(F.broadcast(total)).select(
         "nation",
-        F.round("rev", 2).alias("revenue"),
+        pround("rev", 2).alias("revenue"),
         # nullif: revenues can cancel to a zero total (ANSI divide errors,
         # DuckDB emits inf) — NULL share on both engines
-        F.round(F.col("rev") / F.nullif(F.col("total"), F.lit(0.0)), 6).alias("share"),
+        pround(F.col("rev") / F.nullif(F.col("total"), F.lit(0.0)), 6).alias("share"),
     )
 
 
@@ -455,8 +456,8 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_orders"))
         .select(
             "bucket",
-            F.round(F.col("bucket") * 25000.0, 2).alias("bucket_lo"),
-            F.round((F.col("bucket") + 1) * 25000.0, 2).alias("bucket_hi"),
+            pround(F.col("bucket") * 25000.0, 2).alias("bucket_lo"),
+            pround((F.col("bucket") + 1) * 25000.0, 2).alias("bucket_hi"),
             "n_orders",
         )
     )

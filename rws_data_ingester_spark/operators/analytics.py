@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 def _revenue() -> F.Column:
@@ -66,7 +67,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_orderpriority",
         )
-        .agg(F.round(_revenue() + 1e-6, 2).alias("revenue"))
+        .agg(pround(_revenue() + 1e-6, 2).alias("revenue"))
         .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
@@ -113,7 +114,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.round(_revenue() + 1e-6, 2).alias("revenue"))
+        .agg(pround(_revenue() + 1e-6, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation")
     )
 
@@ -150,7 +151,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.round(_revenue() + 1e-6, 2).alias("revenue"))
+        .agg(pround(_revenue() + 1e-6, 2).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "nation")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -245,7 +246,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-6, 2).alias(
+        pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-6, 2).alias(
             "revenue_delta"
         ),
         F.count("*").alias("n_lines"),
@@ -274,7 +275,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.join(F.broadcast(cat.part), F.col("l_partkey") == F.col("p_partkey")).agg(
-        F.round(
+        pround(
             100.0
             * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
             / F.nullif(F.sum(rev), F.lit(0.0))
@@ -312,7 +313,7 @@ def q19_bracketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(bracket)
         .agg(
-            F.round(
+            pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
@@ -355,8 +356,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            F.round("o_totalprice", 2).alias("total_price"),
-            F.round("total_qty", 2).alias("total_qty"),
+            pround("o_totalprice", 2).alias("total_price"),
+            pround("total_qty", 2).alias("total_qty"),
         )
         .orderBy(F.col("total_price").desc(), "o_orderkey")
         .limit(25)
@@ -438,7 +439,7 @@ def q7_nation_trade_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            F.round(
+            pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
             ).alias("volume")
         )
@@ -494,7 +495,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
         .agg(
-            F.round(
+            pround(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
                 / F.nullif(F.sum(vol), F.lit(0.0))
                 + 1e-6,
@@ -562,7 +563,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(
+            pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-6, 2
             ).alias("total_revenue")
         )
@@ -719,7 +720,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("long").alias("order_year"),
         )
-        .agg(F.round(profit + 0.000001, 2).alias("profit"))
+        .agg(pround(profit + 0.000001, 2).alias("profit"))
     )
 
 
@@ -782,7 +783,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             "n_name",
             "p_partkey",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            pround("unit_cost", 4).alias("unit_cost"),
         )
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(10)
@@ -833,7 +834,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("partkey"),
-            F.round(F.col("value") + 0.000001, 2).alias("value"),
+            pround(F.col("value") + 0.000001, 2).alias("value"),
         )
         .orderBy(F.col("value").desc(), "partkey")
     )

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 
@@ -85,7 +86,7 @@ def jaccard_score_pairs(pairs: DataFrame, docs: DataFrame, threshold: float = 0.
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            pround(inter.cast("double") / union, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -103,7 +104,7 @@ def jaccard_pairs_exact(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
     union = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
-    jacc = F.round(inter.cast("double") / union, 6)
+    jacc = pround(inter.cast("double") / union, 6)
     return (
         a.join(
             b,
@@ -410,7 +411,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("a.label").alias("label"), (dot / F.nullif(norm_a * norm_b, F.lit(0.0))).alias("sim"))
     return pairs.groupBy("label").agg(
         F.count(F.when(F.col("sim") >= 0.9, 1)).alias("n_neardups"),
-        (F.round(F.avg("sim"), 4) + 0.0).alias("avg_sim"),  # +0.0: -0.0 normalization
+        (pround(F.avg("sim"), 4) + 0.0).alias("avg_sim"),  # +0.0: -0.0 normalization
     )
 
 

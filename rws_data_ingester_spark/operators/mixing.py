@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 # (source, 2-hex-digit threshold): P(keep) = int(threshold,16)/256.
@@ -293,7 +294,7 @@ def text_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.count_if(F.col("in_vocab").isNull()).alias("n_oov"),
-            F.round(
+            pround(
                 F.count_if(F.col("in_vocab").isNull()) / F.count("*"), 6
             ).alias("oov_rate"),
         )
@@ -364,7 +365,7 @@ def pipeline_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
-            F.round(F.col("thr") / F.lit(16777216.0), 6).alias("samp_rate"),
+            pround(F.col("thr") / F.lit(16777216.0), 6).alias("samp_rate"),
         )
     )
 

@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 N_HISTOGRAM_BUCKETS = 8
@@ -209,7 +210,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         "byte_len",
-        F.round(F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)"), 6).alias(
+        pround(F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)"), 6).alias(
             "feature_sum"
         ),
         F.size("features").cast("long").alias("n_features"),
@@ -247,7 +248,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resized.select(
         "doc_id",
         F.size("features").cast("long").alias("n_bins"),
-        F.round(
+        pround(
             F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)"), 6
         ).alias("feature_mass"),
     )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 # Bigrams of the token array, 1-based on both engines (Spark element_at /
@@ -98,11 +99,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         n_toks.cast("long").alias("n_tokens"),
-        F.round(
+        pround(
             F.lit(1.0) - F.size(F.array_distinct("toks")).cast("double") / n_toks, 6
         ).alias("dup_token_frac"),
         top_n.alias("top_bigram_n"),
-        F.round(
+        pround(
             F.when(F.size("bg") > 0, top_n.cast("double") / F.size("bg")).otherwise(0.0),
             6,
         ).alias("top_bigram_frac"),

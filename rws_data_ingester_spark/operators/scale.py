@@ -106,6 +106,7 @@ def observed(df: DataFrame, name: str, **metrics: F.Column):
 # the result — the whole point of the strategy.
 # --------------------------------------------------------------------------
 from rws_data_ingester_spark.catalog import Catalog  # noqa: E402
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query  # noqa: E402
 
 
@@ -134,7 +135,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        pround(F.sum("o_totalprice"), 2).alias("revenue"),
     )
 
 
@@ -189,7 +190,7 @@ def pipeline_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").cast("double").alias("value")
     ).select(F.lit("n_by_priority_rows").alias("metric"), "value")
     b = open_orders.agg(
-        F.round(F.sum("o_totalprice"), 2).alias("value")
+        pround(F.sum("o_totalprice"), 2).alias("value")
     ).select(F.lit("open_revenue").alias("metric"), "value")
     c = open_orders.agg(F.count("*").cast("double").alias("value")).select(
         F.lit("open_count").alias("metric"), "value"

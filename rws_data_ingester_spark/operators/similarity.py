@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
@@ -119,7 +120,7 @@ def cosine_topk(
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", pround(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
@@ -334,7 +335,7 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cands.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", F.round(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", pround(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 5)
@@ -427,7 +428,7 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("centroid_id") == F.col("c_centroid_id"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "neighbor_id", F.round(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
+        .select("query_id", "neighbor_id", pround(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
@@ -495,7 +496,7 @@ def cosine_topk_np(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
     )
     # round in Spark, not numpy: np.round is half-to-even; F.round matches
     # the DuckDB oracle's rounding like every other query here
-    scored = scored.withColumn("cosine_sim", F.round("cosine_sim", 6))
+    scored = scored.withColumn("cosine_sim", pround("cosine_sim", 6))
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
@@ -692,10 +693,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return err.select(
         "vec_id",
-        F.round("lo", 6).alias("q_min"),
-        F.round("scale", 6).alias("q_scale"),
-        F.round(F.array_max("e"), 6).alias("max_abs_err"),
-        F.round(
+        pround("lo", 6).alias("q_min"),
+        pround("scale", 6).alias("q_scale"),
+        pround(F.array_max("e"), 6).alias("max_abs_err"),
+        pround(
             F.expr("aggregate(e, cast(0.0 as double), (acc, x) -> acc + x)")
             / F.size("e"),
             6,

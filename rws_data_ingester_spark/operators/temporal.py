@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.functions.timefmt import ts_str
 from rws_data_ingester_spark.plans.registry import query
 
@@ -39,7 +40,7 @@ def tumbling_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), pround(F.sum("value"), 4).alias("total_value"))
         .select(
             ts_str(F.col("w.start")).alias("window_start"),
             "event_type",
@@ -71,7 +72,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return (
         ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), pround(F.sum("value"), 4).alias("total_value"))
         .select(ts_str(F.col("w.start")).alias("window_start"), "n_events", "total_value")
     )
 
@@ -136,7 +137,7 @@ def session_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str(F.min("ts")).alias("session_start"),
             ts_str(F.timestamp_add("MINUTE", F.lit(30), F.max("ts"))).alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            pround(F.sum("value"), 4).alias("total_value"),
         )
         .drop("session_id")
     )
@@ -150,7 +151,7 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), pround(F.sum("value"), 4).alias("total_value"))
         .select(
             "user_id",
             ts_str(F.col("w.start")).alias("session_start"),
@@ -241,7 +242,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.col("c_mktsegment").alias("segment"),
-            F.round("value", 4).alias("value"),
+            pround("value", 4).alias("value"),
         )
     )
 
@@ -340,7 +341,7 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str(F.col("g")).alias("grain_start"),
             "event_type",
             F.col("n").alias("n_events"),
-            F.round("v", 4).alias("total_value"),
+            pround("v", 4).alias("total_value"),
         )
 
     return grain("hour", None).unionByName(grain("day", "day")).unionByName(

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 
@@ -33,8 +34,8 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
+        pround(F.avg("n_chars"), 4).alias("avg_chars"),
+        pround(F.avg(F.size(F.split("text", " "))), 4).alias("avg_tokens"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
         F.countDistinct("source").alias("n_sources"),
@@ -97,13 +98,13 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_toks.cast("long").alias("n_tokens"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / n_toks, 6).alias("distinct_ratio"),
-        F.round(
+        pround(F.size(F.array_distinct(toks)).cast("double") / n_toks, 6).alias("distinct_ratio"),
+        pround(
             (F.length("text") - F.length(no_space)).cast("double")
             / F.nullif(F.length("text"), F.lit(0)),
             6,
         ).alias("space_ratio"),
-        F.round(F.length(no_space).cast("double") / n_toks, 4).alias("avg_token_len"),
+        pround(F.length(no_space).cast("double") / n_toks, 4).alias("avg_token_len"),
         F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long").alias(
             "n_regex_tokens"
         ),
@@ -276,7 +277,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(doc_freq, "token").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "token",
-        F.round(
+        pround(
             (F.col("cnt").cast("double") / F.col("n_toks"))
             * (F.log((F.col("n_docs") + 1) / (F.col("doc_freq") + 1)) + 1),
             6,
@@ -354,7 +355,7 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_stop.cast("long").alias("n_stopwords"),
-        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        pround(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
     )
 
 
@@ -411,8 +412,8 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(F.avg("sw_ratio"), 6).alias("avg_sw_ratio"),
+            pround(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            pround(F.avg("sw_ratio"), 6).alias("avg_sw_ratio"),
         )
     )
 
@@ -463,8 +464,8 @@ def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.crossJoin(F.broadcast(bounds))
         .groupBy("lang")
         .agg(
-            F.round(F.first("lo"), 6).alias("p5_tokens"),
-            F.round(F.first("hi"), 6).alias("p95_tokens"),
+            pround(F.first("lo"), 6).alias("p5_tokens"),
+            pround(F.first("hi"), 6).alias("p95_tokens"),
             F.sum(
                 F.when(F.col("n_tokens").between(F.col("lo"), F.col("hi")), 1).otherwise(0)
             ).alias("n_kept"),
@@ -507,7 +508,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        F.round(F.length("text").cast("double") / F.nullif(bpe, F.lit(0)), 4).alias(
+        pround(F.length("text").cast("double") / F.nullif(bpe, F.lit(0)), 4).alias(
             "chars_per_token"
         ),
     )

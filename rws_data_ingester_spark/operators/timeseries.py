@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -100,7 +101,7 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("h", _TS_FMT).alias("hour_start"),
         "n_events",
         "is_gap",
-        F.round(F.last("max_value", ignorenulls=True).over(w), 6).alias(
+        pround(F.last("max_value", ignorenulls=True).over(w), 6).alias(
             "value_filled"
         ),
     )
@@ -312,10 +313,10 @@ def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag = F.lag("rev").over(W.orderBy("w"))
     return wk.select(
         F.date_format("w", "yyyy-MM-dd").alias("week_start"),
-        F.round("rev", 2).alias("revenue"),
+        pround("rev", 2).alias("revenue"),
         "n_orders",
-        F.round(F.col("rev") - lag, 2).alias("wow_delta"),
-        F.round((F.col("rev") / F.nullif(lag, F.lit(0.0)) - 1.0) * 100.0, 4).alias("wow_pct"),
+        pround(F.col("rev") - lag, 2).alias("wow_delta"),
+        pround((F.col("rev") / F.nullif(lag, F.lit(0.0)) - 1.0) * 100.0, 4).alias("wow_pct"),
     )
 
 
@@ -366,7 +367,7 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_format("h", _TS_FMT).alias("hour_start"),
             F.col("n").alias("n_events"),
-            F.round(z, 2).alias("zscore"),
+            pround(z, 2).alias("zscore"),
             F.when(F.abs(z) >= 2.0, 1).otherwise(0).cast("long").alias("is_anomaly"),
         )
     )

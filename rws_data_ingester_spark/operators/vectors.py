@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.operators.similarity import cosine_topk, scorable
 from rws_data_ingester_spark.plans.registry import query
 
@@ -57,7 +58,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode(F.col("embedding").cast("array<double>")))
         .groupBy("label", F.col("pos").cast("long").alias("dim"))
         .agg(
-            F.round(F.avg("col"), 6).alias("centroid"),
+            pround(F.avg("col"), 6).alias("centroid"),
             F.count("*").alias("n_vecs"),
         )
     )

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.functions.timefmt import ts_str
 from rws_data_ingester_spark.plans.registry import query
 
@@ -67,8 +68,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_prio).cast("long").alias("prio_dense"),
         F.row_number().over(w_key).cast("long").alias("rn_in_status"),
         F.ntile(4).over(w_key).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w_price), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w_price), 6).alias("cume"),
+        pround(F.percent_rank().over(w_price), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w_price), 6).alias("cume"),
         F.nth_value("o_orderkey", 2).over(w_nth).cast("long").alias("second_priciest_key"),
     )
 
@@ -97,11 +98,11 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round("value", 4).alias("value"),
-        F.round(F.lag("value").over(w), 4).alias("prev_value"),
-        F.round(F.lead("value").over(w), 4).alias("next_value"),
-        F.round(F.first("value").over(w), 4).alias("first_value"),
-        F.round(F.last("value").over(w_full), 4).alias("final_value"),
+        pround("value", 4).alias("value"),
+        pround(F.lag("value").over(w), 4).alias("prev_value"),
+        pround(F.lead("value").over(w), 4).alias("next_value"),
+        pround(F.first("value").over(w), 4).alias("first_value"),
+        pround(F.last("value").over(w_full), 4).alias("final_value"),
     )
 
 
@@ -125,8 +126,8 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4).alias("running_total"),
-        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        pround(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4).alias("running_total"),
+        pround(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
         F.count("*").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("n_so_far"),
     )
 
@@ -149,7 +150,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("c_mktsegment").orderBy("c_acctbal").rangeBetween(-500, 0)
     return c.select(
         "c_custkey",
-        F.round("c_acctbal", 4).alias("acctbal"),
+        pround("c_acctbal", 4).alias("acctbal"),
         F.count("*").over(w).alias("n_within_500"),
     )
 
@@ -181,7 +182,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(F.col("rn") <= 3)
-        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"), "rn")
+        .select("c_custkey", "o_orderkey", pround("o_totalprice", 2).alias("total_price"), "rn")
     )
 
 
@@ -205,7 +206,7 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         (
-            F.round(
+            pround(
                 F.col("l_extendedprice") / F.nullif(F.sum("l_extendedprice").over(w), F.lit(0.0)),
                 6,
             )

@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
 from rws_data_ingester_spark.sources.readers import read_csv, read_jsonl
 from rws_data_ingester_spark.sources.sinks import write_csv, write_jsonl
@@ -56,7 +57,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="rws_jsonl_")
     write_jsonl(s, out)
     return read_jsonl(spark, out, schema=s.schema).select(
-        "s_suppkey", "s_name", "s_nationkey", F.round("s_acctbal", 2).alias("acctbal")
+        "s_suppkey", "s_name", "s_nationkey", pround("s_acctbal", 2).alias("acctbal")
     )
 
 
@@ -85,7 +86,7 @@ def sink_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.read.schema(o.schema).parquet(out)
         .filter(F.col("o_orderpriority") == "1-URGENT")
-        .select("o_orderkey", "o_orderpriority", F.round("o_totalprice", 2).alias("total_price"))
+        .select("o_orderkey", "o_orderpriority", pround("o_totalprice", 2).alias("total_price"))
     )
 
 

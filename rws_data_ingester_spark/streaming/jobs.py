@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from rws_data_ingester_spark.catalog import normalize_event_ts
+from rws_data_ingester_spark.functions.rounding import pround
 
 def events_schema(sf_dir: str) -> T.StructType:
     """Explicit read schema for the events fixture (streaming reads never
@@ -171,7 +172,7 @@ def tumbling_counts_stream(spark: SparkSession, sf_dir: str, watermark: str = "1
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), pround(F.sum("value"), 4).alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -186,7 +187,7 @@ def sliding_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), pround(F.sum("value"), 4).alias("total_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "n_events",
@@ -202,7 +203,7 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withWatermark("ts", "1 day")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), pround(F.sum("value"), 4).alias("total_value"))
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -233,7 +234,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.col("c_mktsegment").alias("segment"),
-            F.round("value", 4).alias("value"),
+            pround("value", 4).alias("value"),
         )
     )
 
@@ -405,7 +406,7 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "purchase_id",
         F.col("c_user").alias("user_id"),
-        F.round("purchase_value", 4).alias("purchase_value"),
+        pround("purchase_value", 4).alias("purchase_value"),
     )
 
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.operators import temporal  # noqa: F401  (registers the batch twins whose oracles we share)
 from rws_data_ingester_spark.plans.registry import REGISTRY, query
 from rws_data_ingester_spark.streaming import jobs
@@ -71,7 +72,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
         "user_id",
         "event_type",
-        F.round("value", 4).alias("value"),
+        pround("value", 4).alias("value"),
         "props",
     )
 

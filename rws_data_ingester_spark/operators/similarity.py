@@ -348,43 +348,83 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # candidate set is nprobe/n_centroids of the corpus.
 # --------------------------------------------------------------------------
 def ivf_index(
-    emb: DataFrame, n_centroids: int = 16, seed: int = 42, max_iter: int = 5
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    sample_n: int = 1024,
 ) -> tuple[DataFrame, DataFrame]:
-    """Build the IVF index: seeded MLlib KMeans over the embeddings →
-    (assignments df [vec_id, centroid_id], centroids df [centroid_id,
-    centroid]). The centroid table is tiny (n_centroids rows) and always
-    broadcast; the corpus-side assignment is one Arrow-free JVM pass."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Build the IVF index → (assignments df [vec_id, centroid_id],
+    centroids df [centroid_id, centroid]).
 
-    # MLlib Vectors reject NaN/Inf outright; unscorable vectors are simply
-    # not indexed (removal pipelines keep them, probes can't return them).
-    vecs = scorable(emb).select(
-        "vec_id", array_to_vector(_as_double("embedding")).alias("features")
-    )
+    The coarse quantizer is trained on a bounded, hash-ordered sample
+    collected to the driver (the PQ-codebook contract: index metadata,
+    not data), then the corpus is assigned in ONE map-side argmin pass
+    against the centroid literals — no shuffle, no Python boundary.
+
+    Not MLlib KMeans: k-means|| initialization draws per-partition RNG
+    streams, so even with a fixed seed fit() over the distributed corpus
+    yields different centroids whenever the warehouse FILE LAYOUT (scan
+    split boundaries) changes — every probe result then drifts on
+    re-layout/compaction while all same-layout suites stay green (caught
+    by tests/test_file_layout_invariance.py). A hash-ordered sample is a
+    TakeOrdered (top-k per partition, merged) — deterministic under any
+    layout and partitioning — and the numpy Lloyd's over it is seeded."""
+    # Unscorable vectors (NULL/NaN/Inf/off-dim) are simply not indexed
+    # (removal pipelines keep them, probes can't return them).
+    vecs = scorable(emb).select("vec_id", _as_double("embedding").alias("e"))
     spark = emb.sparkSession
-    # One count pass bounds k: MLlib's k-means|| aggregator throws
-    # ArrayIndexOutOfBounds when the corpus has fewer rows than k, and
-    # fit() rejects zero rows outright — tiny/empty partitions are normal
-    # at the edges of a 100 TB table.
-    n = vecs.count()
-    if n < 2:
-        # 0 or 1 scorable vectors: KMeans needs k >= 2, so the index is
-        # trivial — everything (nothing, or the lone vector) is cell 0.
+    # xxhash64 order = deterministic pseudo-random sample (unbiased by
+    # ingest order, identical on any layout); vec_id tiebreak is total.
+    rows = vecs.orderBy(F.xxhash64("vec_id"), "vec_id").limit(sample_n).collect()
+    if len(rows) < 2:
+        # 0 or 1 scorable vectors: the index is trivial — everything
+        # (nothing, or the lone vector) is cell 0.
         assignments = vecs.select("vec_id", F.lit(0).cast("int").alias("centroid_id"))
-        lone = scorable(emb).select(_as_double("embedding").alias("e")).head()
         cents = spark.createDataFrame(
-            [(0, lone["e"])] if lone else [],
+            [(0, rows[0]["e"])] if rows else [],
             "centroid_id int, centroid array<double>",
         )
         return assignments, cents
-    model = KMeans(k=min(n_centroids, n), seed=seed, maxIter=max_iter).fit(vecs)
-    assignments = model.transform(vecs).select(
-        "vec_id", F.col("prediction").cast("int").alias("centroid_id")
-    )
+    # function-level import: vectors.py imports similarity at module
+    # scope, so the reverse edge must stay lazy to avoid a cycle
+    from rws_data_ingester_spark.operators.vectors import _kmeans_np
+
+    x = np.array([r["e"] for r in rows], dtype=np.float64)
+    cents_np = _kmeans_np(x, min(n_centroids, len(x)), iters=max_iter, seed=seed)
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [(i, [float(v) for v in c]) for i, c in enumerate(cents_np)],
         "centroid_id int, centroid array<double>",
+    )
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents_np]
+    )
+
+    def _argmin_cell(e: F.Column) -> F.Column:
+        # struct(d, i): array_min compares distance first, index second —
+        # ties break to the lowest cell id, a total deterministic order.
+        return F.array_min(
+            F.transform(
+                cent_lit,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(c, e, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d"),
+                    i.alias("i"),
+                ),
+            )
+        )["i"]
+
+    # single-element transform(array(e), ...) wrapper: the embedding is
+    # materialized once per row instead of re-read per centroid element
+    # (the SCALE.md outer-column-in-HOF rule).
+    assignments = vecs.select(
+        "vec_id",
+        F.element_at(F.transform(F.array("e"), _argmin_cell), 1)
+        .cast("int")
+        .alias("centroid_id"),
     )
     return assignments, cents
 

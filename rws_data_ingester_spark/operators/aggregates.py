@@ -183,22 +183,27 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
-           ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
-           ROUND(MEDIAN(c_acctbal), 4) AS med_bal,
-           ROUND(QUANTILE_CONT(c_acctbal, 0.9), 4) AS p90_bal
+           ROUND(STDDEV_SAMP(c_acctbal) + 1e-8, 4) AS sd_bal,
+           ROUND(VAR_SAMP(c_acctbal) + 1e-6, 4) AS var_bal,
+           ROUND(MEDIAN(c_acctbal) + 1e-8, 4) AS med_bal,
+           ROUND(QUANTILE_CONT(c_acctbal, 0.9) + 1e-8, 4) AS p90_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics (percentile/median) require a per-group sort;
-    at 100 TB prefer percentile_approx (see agg_approx_percentile)."""
+    at 100 TB prefer percentile_approx (see agg_approx_percentile).
+    + 1e-8 on both sides: stddev/var are co-moment streams (and the
+    interpolated quantiles small expression chains) whose merge/evaluation
+    order differs ACROSS engines — the two true doubles sit ulps apart and
+    can straddle a scale-4 rounding boundary (the agg_corr_covar class,
+    fuzz seed 5008)."""
     c = Catalog(spark, sf_dir).customer
     return c.groupBy("c_mktsegment").agg(
-        pround(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
-        pround(F.var_samp("c_acctbal"), 4).alias("var_bal"),
-        pround(F.median("c_acctbal"), 4).alias("med_bal"),
-        pround(F.percentile("c_acctbal", 0.9), 4).alias("p90_bal"),
+        pround(F.stddev_samp("c_acctbal") + 1e-8, 4).alias("sd_bal"),
+        pround(F.var_samp("c_acctbal") + 1e-6, 4).alias("var_bal"),
+        pround(F.median("c_acctbal") + 1e-8, 4).alias("med_bal"),
+        pround(F.percentile("c_acctbal", 0.9) + 1e-8, 4).alias("p90_bal"),
     )
 
 
@@ -314,22 +319,28 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_corr_covar",
     oracle="""
     SELECT l_returnflag,
-           ROUND(CORR(l_quantity, l_extendedprice), 4) + 0.0       AS qty_price_corr,
-           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) + 0.0 AS qty_price_covar,
-           ROUND(COVAR_POP(l_discount, l_tax), 6) + 0.0            AS disc_tax_covar
+           ROUND(CORR(l_quantity, l_extendedprice) + 1e-8, 4) + 0.0       AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice) + 1e-6, 2) + 0.0 AS qty_price_covar,
+           ROUND(COVAR_POP(l_discount, l_tax) + 1e-10, 6) + 0.0           AS disc_tax_covar
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`+ 0.0` on both sides normalizes IEEE negative zero — ROUND can
-    yield -0.0 in one engine and +0.0 in the other, which hash-differ."""
+    yield -0.0 in one engine and +0.0 in the other, which hash-differ.
+    The scale-proportional nudges (1e-8 @ 4, 1e-6 @ 2, 1e-10 @ 6 — the
+    q17/q22 idiom) exist because CORR/COVAR are co-moment streams whose
+    merge order legitimately differs ACROSS engines: the two true values
+    sit ulps apart, and when they straddle a rounding boundary even
+    bit-identical rounding diverges by a unit of the target scale (fuzz
+    seed 5008 landed COVAR_POP a hair either side of x.0078375)."""
     li = Catalog(spark, sf_dir).lineitem
     return li.groupBy("l_returnflag").agg(
-        (pround(F.corr("l_quantity", "l_extendedprice"), 4) + 0.0).alias("qty_price_corr"),
-        (pround(F.covar_samp("l_quantity", "l_extendedprice"), 2) + 0.0).alias(
+        (pround(F.corr("l_quantity", "l_extendedprice") + 1e-8, 4) + 0.0).alias("qty_price_corr"),
+        (pround(F.covar_samp("l_quantity", "l_extendedprice") + 1e-6, 2) + 0.0).alias(
             "qty_price_covar"
         ),
-        (pround(F.covar_pop("l_discount", "l_tax"), 6) + 0.0).alias("disc_tax_covar"),
+        (pround(F.covar_pop("l_discount", "l_tax") + 1e-10, 6) + 0.0).alias("disc_tax_covar"),
     )
 
 

@@ -42,7 +42,16 @@ def pround(col: Column | str, scale: int = 0) -> Column:
     DuckDB's ``round(col, scale)``. NULL→NULL, NaN→NaN, ±Inf→±Inf;
     -0.0 outputs are normalized to 0.0 (matching ``F.round``, whose
     BigDecimal path cannot produce -0.0 — oracles add ``+ 0.0`` where
-    a negative can round to zero)."""
+    a negative can round to zero).
+
+    Cost note: the returned expression references ``col`` four times
+    (guard + magnitude + sign), and Catalyst does not common-subexpression
+    a non-cheap operand across them — rounding an expensive expression
+    (HOF fold, regex scan, array intersect) re-evaluates it per reference.
+    Bind such operands to a column in an inner select and round the bound
+    column (measured 2.0 s → 0.73 s on the sf0.1 exact-cosine path);
+    aggregate results and plain columns are fine to pass directly.
+    """
     c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**scale))
     y = F.abs(c) * p + F.lit(0.5)

@@ -304,29 +304,37 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic keeps Spark and DuckDB in the same float semantics."""
     e = Catalog(spark, sf_dir).embeddings
     dbl = F.expr("transform(embedding, x -> cast(x as double))")
-    return e.select(
+    # two-phase: bind each HOF fold once, round the bound columns —
+    # pround references its operand 4×, which would re-fold the array
+    # per reference (the similarity/text binding pattern)
+    raw = e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        pround(F.col("embedding")[0].cast("double"), 6).alias("first_elem"),
-        pround(F.expr("aggregate(transform(embedding, x -> cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x)"), 4).alias("vec_sum"),
-        pround(F.array_max(dbl), 6).alias("vec_max"),
-        pround(F.array_min(dbl), 6).alias("vec_min"),
-        pround(
-            F.expr(
-                "aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
-                " transform(embedding, x -> cast(x as double)), (a, b) -> a * b),"
-                " cast(0.0 as double), (acc, x) -> acc + x)"
-            ),
-            4,
-        ).alias("norm_sq"),
-        pround(
-            F.expr(
-                "aggregate(transform(embedding, x -> abs(cast(x as double))),"
-                " cast(0.0 as double), (acc, x) -> acc + x)"
-            ),
-            4,
-        ).alias("l1_norm"),
+        F.col("embedding")[0].cast("double").alias("_first"),
+        F.expr("aggregate(transform(embedding, x -> cast(x as double)), cast(0.0 as double), (acc, x) -> acc + x)").alias("_sum"),
+        F.array_max(dbl).alias("_max"),
+        F.array_min(dbl).alias("_min"),
+        F.expr(
+            "aggregate(zip_with(transform(embedding, x -> cast(x as double)),"
+            " transform(embedding, x -> cast(x as double)), (a, b) -> a * b),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("_norm_sq"),
+        F.expr(
+            "aggregate(transform(embedding, x -> abs(cast(x as double))),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("_l1"),
         F.size(F.expr("filter(embedding, x -> x > 0)")).cast("long").alias("n_positive"),
+    )
+    return raw.select(
+        "vec_id",
+        "dim",
+        pround("_first", 6).alias("first_elem"),
+        pround("_sum", 4).alias("vec_sum"),
+        pround("_max", 6).alias("vec_max"),
+        pround("_min", 6).alias("vec_min"),
+        pround("_norm_sq", 4).alias("norm_sq"),
+        pround("_l1", 4).alias("l1_norm"),
+        "n_positive",
     )
 
 

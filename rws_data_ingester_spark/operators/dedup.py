@@ -83,11 +83,14 @@ def jaccard_score_pairs(pairs: DataFrame, docs: DataFrame, threshold: float = 0.
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
+        # bind the raw score once — pround references its operand 4×, and
+        # the operand re-intersects both token sets per reference
         .select(
             F.col("id_a").alias("doc_a"),
             F.col("id_b").alias("doc_b"),
-            pround(inter.cast("double") / union, 6).alias("jaccard"),
+            (inter.cast("double") / union).alias("_raw_jac"),
         )
+        .select("doc_a", "doc_b", pround("_raw_jac", 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -104,17 +107,19 @@ def jaccard_pairs_exact(docs: DataFrame, threshold: float = 0.1) -> DataFrame:
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
     union = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
-    jacc = pround(inter.cast("double") / union, 6)
     return (
         a.join(
             b,
             (F.col("a.source") == F.col("b.source")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        # raw score bound once; pround over the bound column (4 operand
+        # references would re-intersect the token sets per reference)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            jacc.alias("jaccard"),
+            (inter.cast("double") / union).alias("_raw_jac"),
         )
+        .select("doc_a", "doc_b", pround("_raw_jac", 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -207,13 +207,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     feats = extract_features(attach_payload(d))
+    # bind the aggregate once — pround's 4 operand references would
+    # otherwise re-fold the features array per reference
     return feats.select(
         "doc_id",
         "byte_len",
-        pround(F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)"), 6).alias(
-            "feature_sum"
-        ),
+        F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)").alias("_fsum"),
         F.size("features").cast("long").alias("n_features"),
+    ).select(
+        "doc_id",
+        "byte_len",
+        pround("_fsum", 6).alias("feature_sum"),
+        "n_features",
     )
 
 

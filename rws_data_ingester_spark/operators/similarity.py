@@ -120,7 +120,13 @@ def cosine_topk(
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", pround(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
+        # Bind the raw cosine once, round the bound column: pround
+        # references its operand 4×, and re-evaluating the HOF dot chain
+        # per reference quadruples the hot loop (2.0 s → 0.73 s at sf0.1).
+        # CollapseProject keeps the projections apart — a non-cheap expr
+        # referenced more than once is never inlined.
+        .select("query_id", "neighbor_id", (dot / F.nullif(qn * cn, F.lit(0.0))).alias("_raw_sim"))
+        .select("query_id", "neighbor_id", pround("_raw_sim", 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
@@ -335,7 +341,13 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cands.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .select("query_id", "neighbor_id", pround(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
+        # Bind the raw cosine once, round the bound column: pround
+        # references its operand 4×, and re-evaluating the HOF dot chain
+        # per reference quadruples the hot loop (2.0 s → 0.73 s at sf0.1).
+        # CollapseProject keeps the projections apart — a non-cheap expr
+        # referenced more than once is never inlined.
+        .select("query_id", "neighbor_id", (dot / F.nullif(qn * cn, F.lit(0.0))).alias("_raw_sim"))
+        .select("query_id", "neighbor_id", pround("_raw_sim", 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(F.col("rank") <= 5)
@@ -468,7 +480,13 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("centroid_id") == F.col("c_centroid_id"))
             & (F.col("query_id") != F.col("neighbor_id")),
         )
-        .select("query_id", "neighbor_id", pround(dot / F.nullif(qn * cn, F.lit(0.0)), 6).alias("cosine_sim"))
+        # Bind the raw cosine once, round the bound column: pround
+        # references its operand 4×, and re-evaluating the HOF dot chain
+        # per reference quadruples the hot loop (2.0 s → 0.73 s at sf0.1).
+        # CollapseProject keeps the projections apart — a non-cheap expr
+        # referenced more than once is never inlined.
+        .select("query_id", "neighbor_id", (dot / F.nullif(qn * cn, F.lit(0.0))).alias("_raw_sim"))
+        .select("query_id", "neighbor_id", pround("_raw_sim", 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
     return (
@@ -731,14 +749,21 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     err = quant.withColumn(
         "e", F.expr("zip_with(v, q, (x, qq) -> abs(x - (lo + qq * scale)))")
     )
+    # bind the array folds once before rounding (pround references its
+    # operand 4× — see the cosine-site binding note)
     return err.select(
+        "vec_id",
+        "lo",
+        "scale",
+        F.array_max("e").alias("_max_err"),
+        (
+            F.expr("aggregate(e, cast(0.0 as double), (acc, x) -> acc + x)")
+            / F.size("e")
+        ).alias("_mean_err"),
+    ).select(
         "vec_id",
         pround("lo", 6).alias("q_min"),
         pround("scale", 6).alias("q_scale"),
-        pround(F.array_max("e"), 6).alias("max_abs_err"),
-        pround(
-            F.expr("aggregate(e, cast(0.0 as double), (acc, x) -> acc + x)")
-            / F.size("e"),
-            6,
-        ).alias("mean_abs_err"),
+        pround("_max_err", 6).alias("max_abs_err"),
+        pround("_mean_err", 6).alias("mean_abs_err"),
     )

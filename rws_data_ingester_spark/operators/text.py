@@ -95,19 +95,31 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     n_toks = F.size(toks)
     no_space = F.replace(F.col("text"), F.lit(" "), F.lit(""))
-    return d.select(
+    # Two-phase select: bind each raw ratio once, round the bound column —
+    # pround references its operand 4×, and these operands re-split /
+    # re-scan the document body per reference (the SCALE.md per-row
+    # linearity rule; CollapseProject never inlines a non-cheap
+    # multi-referenced expression, so the bind is stable).
+    raw = d.select(
         "doc_id",
         n_toks.cast("long").alias("n_tokens"),
-        pround(F.size(F.array_distinct(toks)).cast("double") / n_toks, 6).alias("distinct_ratio"),
-        pround(
+        (F.size(F.array_distinct(toks)).cast("double") / n_toks).alias("_distinct"),
+        (
             (F.length("text") - F.length(no_space)).cast("double")
-            / F.nullif(F.length("text"), F.lit(0)),
-            6,
-        ).alias("space_ratio"),
-        pround(F.length(no_space).cast("double") / n_toks, 4).alias("avg_token_len"),
+            / F.nullif(F.length("text"), F.lit(0))
+        ).alias("_space"),
+        (F.length(no_space).cast("double") / n_toks).alias("_tok_len"),
         F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)")).cast("long").alias(
             "n_regex_tokens"
         ),
+    )
+    return raw.select(
+        "doc_id",
+        "n_tokens",
+        pround("_distinct", 6).alias("distinct_ratio"),
+        pround("_space", 6).alias("space_ratio"),
+        pround("_tok_len", 4).alias("avg_token_len"),
+        "n_regex_tokens",
     )
 
 
@@ -352,10 +364,16 @@ def text_stopword_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split("text", " ")
     sw = F.array(*[F.lit(w) for w in _STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    # bind the ratio once: pround's 4 operand references would otherwise
+    # re-run the split+filter HOF chain per reference (see text stats)
     return d.select(
         "doc_id",
         n_stop.cast("long").alias("n_stopwords"),
-        pround(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+        (n_stop.cast("double") / F.size(toks)).alias("_ratio"),
+    ).select(
+        "doc_id",
+        "n_stopwords",
+        pround("_ratio", 6).alias("stopword_ratio"),
     )
 
 
@@ -504,11 +522,18 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = F.size(
         F.expr(r"regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+', 0)")
     ).cast("long")
+    # bind bpe_tokens once, then ratio off the bound column — otherwise
+    # pround's 4 operand references re-run the regex scan per reference
     return d.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
-        pround(F.length("text").cast("double") / F.nullif(bpe, F.lit(0)), 4).alias(
+        F.length("text").cast("double").alias("_chars"),
+    ).select(
+        "doc_id",
+        "ws_tokens",
+        "bpe_tokens",
+        pround(F.col("_chars") / F.nullif(F.col("bpe_tokens"), F.lit(0)), 4).alias(
             "chars_per_token"
         ),
     )

@@ -162,10 +162,10 @@ def scalar_string_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFra
            ROUND(abs(l_extendedprice - 1000.0), 4)      AS abs_diff,
            floor(l_extendedprice)::BIGINT               AS price_floor,
            ceil(l_extendedprice)::BIGINT                AS price_ceil,
-           ROUND(pow(l_quantity, 2), 4)                 AS qty_sq,
+           ROUND(pow(l_quantity, 2) + 1e-8, 4)          AS qty_sq,
            CASE WHEN l_extendedprice > 0
-                THEN ROUND(ln(l_extendedprice), 6) END  AS price_ln,
-           ROUND(exp(l_discount), 6)                    AS disc_exp,
+                THEN ROUND(ln(l_extendedprice) + 1e-10, 6) END AS price_ln,
+           ROUND(exp(l_discount) + 1e-10, 6)            AS disc_exp,
            CASE WHEN l_extendedprice >= 0
                 THEN ROUND(sqrt(l_extendedprice), 6) END AS price_sqrt,
            (l_linenumber % 3)::BIGINT                   AS line_mod,
@@ -191,13 +191,16 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.abs(F.col("l_extendedprice") - 1000.0), 4).alias("abs_diff"),
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
-        pround(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        pround(F.pow("l_quantity", F.lit(2)) + 1e-8, 4).alias("qty_sq"),
         # ln/sqrt domains are guarded identically on both engines: DuckDB
         # ERRORS on ln(x<=0) / sqrt(x<0) where Spark yields NULL/NaN.
-        F.when(F.col("l_extendedprice") > 0, pround(F.log("l_extendedprice"), 6)).alias(
+        # ln/exp/pow are NOT correctly-rounded (JVM vs libm can differ
+        # by an ulp), so those get the scale-proportional nudge on both
+        # sides (the agg_corr_covar class); sqrt IS IEEE-exact — no nudge.
+        F.when(F.col("l_extendedprice") > 0, pround(F.log("l_extendedprice") + 1e-10, 6)).alias(
             "price_ln"
         ),
-        pround(F.exp("l_discount"), 6).alias("disc_exp"),
+        pround(F.exp("l_discount") + 1e-10, 6).alias("disc_exp"),
         F.when(F.col("l_extendedprice") >= 0, pround(F.sqrt("l_extendedprice"), 6)).alias(
             "price_sqrt"
         ),

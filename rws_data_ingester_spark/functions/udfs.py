@@ -69,7 +69,7 @@ def pd_count(v: pd.Series) -> int:
     "udaf_geomean_price",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(EXP(AVG(LN(CASE WHEN o_totalprice > 0 THEN o_totalprice END))), 2)
+           ROUND(EXP(AVG(LN(CASE WHEN o_totalprice > 0 THEN o_totalprice END))) + 1e-6, 2)
              AS geo_mean_price,
            COUNT(*)::BIGINT AS n_orders
     FROM orders GROUP BY o_orderpriority
@@ -90,7 +90,7 @@ def udaf_geomean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority",
-            pround("gm_raw", 2).alias("geo_mean_price"),
+            (pround(F.col("gm_raw") + 1e-6, 2)).alias("geo_mean_price"),
             "n_orders",
         )
     )

@@ -422,3 +422,28 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(cat.orders, cat.customer, "o_custkey", "c_custkey", how=how)
+
+
+def test_pround_bind_projection_survives_optimization(spark):
+    """The expensive-operand sites bind the raw value in an inner
+    projection and round the bound column — pround references its operand
+    4x, so if CollapseProject ever starts inlining a non-cheap
+    multi-referenced alias (a Spark-upgrade behavior change), the HOF
+    cosine chain would silently re-evaluate per reference (measured 2.0 s
+    vs 0.73 s at sf0.1). Results would stay IDENTICAL, so only this plan
+    assertion can catch the regression: the optimized plan must still
+    carry the bound intermediate column."""
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    df = REGISTRY["simsearch_topk_exact"].fn(spark, SF_DIR)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_raw_sim" in optimized, (
+        "the raw-cosine bind was inlined away — pround's operand will "
+        "re-evaluate 4x; restore the two-phase projection"
+    )
+    # and exactly one cosine fold in the plan: the aggregate() chain for
+    # the dot product must appear once, not once per pround reference
+    assert optimized.count("zip_with(qe") <= 2, (
+        "cosine dot chain duplicated in the optimized plan"
+    )

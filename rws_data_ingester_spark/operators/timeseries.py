@@ -96,14 +96,21 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("event_type").orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    # LOCF window bound raw, rounded outside — WindowExec doesn't dedup
+    # identical window expressions, so pround's multiple references would
+    # materialize the last() 6× (see windows.window_rank)
     return grid.select(
         "event_type",
         F.date_format("h", _TS_FMT).alias("hour_start"),
         "n_events",
         "is_gap",
-        pround(F.last("max_value", ignorenulls=True).over(w), 6).alias(
-            "value_filled"
-        ),
+        F.last("max_value", ignorenulls=True).over(w).alias("_locf"),
+    ).select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        "is_gap",
+        pround("_locf", 6).alias("value_filled"),
     )
 
 
@@ -310,13 +317,23 @@ def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     wk = o.groupBy(F.date_trunc("week", "o_orderdate").alias("w")).agg(
         F.sum("o_totalprice").alias("rev"), F.count("*").alias("n_orders")
     )
+    # the lag window expression is bound ONCE — WindowExec doesn't dedup,
+    # and pround's references across two output columns would otherwise
+    # materialize 12 copies of the same lag (see windows.window_rank)
     lag = F.lag("rev").over(W.orderBy("w"))
     return wk.select(
         F.date_format("w", "yyyy-MM-dd").alias("week_start"),
+        "rev",
+        "n_orders",
+        lag.alias("_lag"),
+    ).select(
+        "week_start",
         pround("rev", 2).alias("revenue"),
         "n_orders",
-        pround(F.col("rev") - lag, 2).alias("wow_delta"),
-        pround((F.col("rev") / F.nullif(lag, F.lit(0.0)) - 1.0) * 100.0, 4).alias("wow_pct"),
+        pround(F.col("rev") - F.col("_lag"), 2).alias("wow_delta"),
+        pround(
+            (F.col("rev") / F.nullif(F.col("_lag"), F.lit(0.0)) - 1.0) * 100.0, 4
+        ).alias("wow_pct"),
     )
 
 

@@ -61,6 +61,10 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc_nulls_last(), "o_orderkey")
         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     )
+    # window expressions bound raw, rounded in the outer select: WindowExec
+    # does NOT dedup identical window expressions (unlike HashAggregate),
+    # so pround's multiple operand references would materialize each
+    # window function 6× — 6× the compute and 6× the window buffer width
     return o.select(
         "o_orderkey",
         "o_orderstatus",
@@ -68,9 +72,19 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w_prio).cast("long").alias("prio_dense"),
         F.row_number().over(w_key).cast("long").alias("rn_in_status"),
         F.ntile(4).over(w_key).cast("long").alias("quartile"),
-        pround(F.percent_rank().over(w_price), 6).alias("pct_rank"),
-        pround(F.cume_dist().over(w_price), 6).alias("cume"),
+        F.percent_rank().over(w_price).alias("_pct"),
+        F.cume_dist().over(w_price).alias("_cume"),
         F.nth_value("o_orderkey", 2).over(w_nth).cast("long").alias("second_priciest_key"),
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "prio_rank",
+        "prio_dense",
+        "rn_in_status",
+        "quartile",
+        pround("_pct", 6).alias("pct_rank"),
+        pround("_cume", 6).alias("cume"),
+        "second_priciest_key",
     )
 
 
@@ -95,14 +109,24 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).events
     w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    # raw window columns bound first — WindowExec doesn't dedup, see
+    # window_rank
     return ev.select(
         "event_id",
         "user_id",
         pround("value", 4).alias("value"),
-        pround(F.lag("value").over(w), 4).alias("prev_value"),
-        pround(F.lead("value").over(w), 4).alias("next_value"),
-        pround(F.first("value").over(w), 4).alias("first_value"),
-        pround(F.last("value").over(w_full), 4).alias("final_value"),
+        F.lag("value").over(w).alias("_prev"),
+        F.lead("value").over(w).alias("_next"),
+        F.first("value").over(w).alias("_first"),
+        F.last("value").over(w_full).alias("_final"),
+    ).select(
+        "event_id",
+        "user_id",
+        "value",
+        pround("_prev", 4).alias("prev_value"),
+        pround("_next", 4).alias("next_value"),
+        pround("_first", 4).alias("first_value"),
+        pround("_final", 4).alias("final_value"),
     )
 
 
@@ -123,12 +147,20 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLS LAST pinned — see window_lag_lead
     ev = Catalog(spark, sf_dir).events
     w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
+    # raw window columns bound first — WindowExec doesn't dedup, see
+    # window_rank
     return ev.select(
         "event_id",
         "user_id",
-        pround(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 4).alias("running_total"),
-        pround(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+        F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("_run"),
+        F.avg("value").over(w.rowsBetween(-2, 0)).alias("_mov3"),
         F.count("*").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("n_so_far"),
+    ).select(
+        "event_id",
+        "user_id",
+        pround("_run", 4).alias("running_total"),
+        pround("_mov3", 4).alias("moving_avg3"),
+        "n_so_far",
     )
 
 
@@ -202,16 +234,18 @@ def window_share_of_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("l_orderkey")
     # nullif guards the zero-sum group (prices can cancel): Spark's ANSI
     # divide would error and DuckDB would emit inf — NULL on both engines.
+    # raw share bound first — WindowExec doesn't dedup, see window_rank
     return li.select(
         "l_orderkey",
         "l_linenumber",
         (
-            pround(
-                F.col("l_extendedprice") / F.nullif(F.sum("l_extendedprice").over(w), F.lit(0.0)),
-                6,
-            )
-            + 0.0
-        ).alias("price_share"),
+            F.col("l_extendedprice")
+            / F.nullif(F.sum("l_extendedprice").over(w), F.lit(0.0))
+        ).alias("_share"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (pround("_share", 6) + 0.0).alias("price_share"),
     )
 
 

@@ -123,13 +123,18 @@ def session_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cast("double") keeps sub-second precision (epoch seconds + fraction);
     # cast("long") would truncate and disagree with the oracle's exact
     # interval comparison near the 30-minute boundary.
+    # lag(ts) is bound ONCE — WindowExec doesn't dedup identical window
+    # expressions, so referencing F.lag(...).over(w) twice in the flag
+    # would compute and buffer two copies (test_plan_hygiene sweep).
     gap_flag = F.when(
-        F.lag("ts").over(w).isNull()
-        | (F.col("ts").cast("double") - F.lag("ts").over(w).cast("double") > 1800.0),
+        F.col("_prev_ts").isNull()
+        | (F.col("ts").cast("double") - F.col("_prev_ts").cast("double") > 1800.0),
         1,
     ).otherwise(0)
-    sessions = ev.withColumn("new_session", gap_flag).withColumn(
-        "session_id", F.sum("new_session").over(w_run)
+    sessions = (
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("new_session", gap_flag)
+        .withColumn("session_id", F.sum("new_session").over(w_run))
     )
     return (
         sessions.groupBy("user_id", "session_id")

@@ -16,9 +16,17 @@ Red flags:
   killer. Allowed only where the window's input is a bounded aggregate
   (cardinality fixed by construction, not by data volume); each allowance
   documents that bound.
+- Duplicate window expressions: WindowExec (unlike HashAggregate) does
+  NOT deduplicate identical (function, spec) pairs — building the same
+  window expression into several output columns (or referencing it
+  multiple times inside one, e.g. an unbound pround operand) computes and
+  buffers it once PER copy. Any exact duplicate inside a Window node is
+  an unintended plan.
 """
 
 from __future__ import annotations
+
+import re
 
 import pytest
 
@@ -47,6 +55,29 @@ SINGLE_PARTITION_WINDOW_ALLOWED = {"ids_assign_contiguous", "trend_wow_revenue"}
 ALL_QUERIES = sorted(REGISTRY)
 
 
+_WIN_ALIAS_SPLIT = re.compile(r" AS [A-Za-z_][\w.]*#\d+L?(?:, )?")
+
+
+def _duplicate_window_exprs(plan: str) -> list[str]:
+    """Exact-duplicate window expressions within any single Window node:
+    the bracket's entries are `<expr> AS <name>#id` — split on the alias
+    anchors and compare the expr strings verbatim (attribute ids make
+    identical computations print identically within one plan)."""
+    dups: list[str] = []
+    for ln in plan.splitlines():
+        marker = "Window ["
+        if marker not in ln:
+            continue
+        body = ln.split(marker, 1)[1].rsplit("]", 1)[0]
+        exprs = [e for e in _WIN_ALIAS_SPLIT.split(body) if "windowspecdefinition" in e]
+        seen: set[str] = set()
+        for e in exprs:
+            if e in seen:
+                dups.append(e[:120])
+            seen.add(e)
+    return dups
+
+
 def _has_single_partition_window(plan: str) -> bool:
     """True if any Window node sits (within its subtree header) directly
     above an Exchange SinglePartition — i.e. an unpartitioned window."""
@@ -72,3 +103,9 @@ def test_plan_has_no_scale_red_flags(spark, name):
             f"{name}: unpartitioned Window (Exchange SinglePartition child) — "
             "partition the window or aggregate first"
         )
+    dups = _duplicate_window_exprs(plan)
+    assert not dups, (
+        f"{name}: duplicate window expression(s) in one Window node — "
+        f"WindowExec computes each copy separately; bind the window output "
+        f"to a column before reusing it: {dups[:2]}"
+    )

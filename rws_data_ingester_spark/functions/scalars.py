@@ -286,10 +286,10 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding)::BIGINT                                        AS dim,
-           ROUND(embedding[1]::DOUBLE, 6)                                AS first_elem,
-           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 4)          AS vec_sum,
-           ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6)          AS vec_max,
-           ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 6)          AS vec_min,
+           ROUND(embedding[1]::DOUBLE, 6) + 0.0                          AS first_elem,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 4) + 0.0    AS vec_sum,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'max'), 6) + 0.0    AS vec_max,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'min'), 6) + 0.0    AS vec_min,
            -- sum-of-squares via transform+aggregate: list_dot_product
            -- raises on a NULL list (even under CASE — vectorized eager
            -- evaluation) while this form propagates NULL like Spark.

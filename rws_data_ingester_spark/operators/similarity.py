@@ -154,7 +154,7 @@ def cosine_topk(
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(q.e, c.e)
                / nullif(sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)), 0), 6)
-               AS cosine_sim
+               + 0.0 AS cosine_sim
       FROM v q JOIN v c ON q.vec_id != c.vec_id
       WHERE q.vec_id < 10
     )

@@ -297,8 +297,8 @@ def engagement_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(w, '%Y-%m-%d') AS week_start,
            ROUND(rev, 2) AS revenue,
            n_orders,
-           ROUND(rev - LAG(rev) OVER (ORDER BY w), 2) AS wow_delta,
-           ROUND((rev / nullif(LAG(rev) OVER (ORDER BY w), 0) - 1.0) * 100.0, 4)
+           ROUND(rev - LAG(rev) OVER (ORDER BY w), 2) + 0.0 AS wow_delta,
+           ROUND((rev / nullif(LAG(rev) OVER (ORDER BY w), 0) - 1.0) * 100.0, 4) + 0.0
              AS wow_pct
     FROM wk
     """,
@@ -350,7 +350,7 @@ def trend_wow_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.event_type,
            strftime(c.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
            c.n AS n_events,
-           ROUND((c.n - s.mu) / nullif(s.sd, 0), 2) AS zscore,
+           ROUND((c.n - s.mu) / nullif(s.sd, 0), 2) + 0.0 AS zscore,
            (CASE WHEN abs((c.n - s.mu) / nullif(s.sd, 0)) >= 2.0
                  THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
     FROM cells c JOIN stats s ON c.event_type = s.event_type

@@ -42,7 +42,7 @@ from rws_data_ingester_spark.plans.registry import query
     )
     SELECT label,
            (i - 1)::BIGINT AS dim,
-           ROUND(AVG(embedding[i]::DOUBLE), 6) AS centroid,
+           ROUND(AVG(embedding[i]::DOUBLE), 6) + 0.0 AS centroid,
            COUNT(*)::BIGINT AS n_vecs
     FROM expl
     GROUP BY label, i

@@ -715,11 +715,15 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(list_zip(v, q), p -> abs(p[1] - (lo + p[2] * scale))) AS e
       FROM quant
     )
+    -- + 0.0: lo can be a negative rounding to zero from below, and
+    -- DuckDB propagates the sign of zero through abs/list_max into the
+    -- error stats ('-0' when rendered) — the engine normalizes rounded
+    -- outputs to +0.0 (functions/rounding.py), so the oracle must too.
     SELECT vec_id::BIGINT AS vec_id,
-           ROUND(lo, 6) AS q_min,
-           ROUND(scale, 6) AS q_scale,
-           ROUND(list_max(e), 6) AS max_abs_err,
-           ROUND(list_sum(e) / len(e), 6) AS mean_abs_err
+           ROUND(lo, 6) + 0.0 AS q_min,
+           ROUND(scale, 6) + 0.0 AS q_scale,
+           ROUND(list_max(e), 6) + 0.0 AS max_abs_err,
+           ROUND(list_sum(e) / len(e), 6) + 0.0 AS mean_abs_err
     FROM err
     """,
 )

@@ -53,6 +53,11 @@ ADVERSARIAL_EMBEDDINGS = [
     (10, _vec(0.25, 0.5, 0.75, 1.0, -1.0), None),        # NULL label
     (11, _vec(2.0, 3.0, 4.0), -1),                       # negative label
     (12, _vec(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8), 3),  # lone label
+    # negative zero + a tiny negative that rounds to zero from below:
+    # DuckDB's ROUND keeps the sign of zero ('-0' when rendered) while
+    # the engine normalizes rounded outputs to +0.0 — the oracles carry
+    # `+ 0.0` for exactly this row (first_elem/min/max/sum/centroid).
+    (13, _vec(-0.0, -1e-9, 0.0), 3),
 ]
 
 
@@ -154,6 +159,8 @@ def test_fixture_contains_the_advertised_hazards():
     assert math.isnan(by_id[5][1][0])                       # NaN component
     assert by_id[6][1] is None                              # NULL embedding
     assert by_id[10][2] is None and by_id[11][2] == -1      # label edges
+    assert math.copysign(1.0, by_id[13][1][0]) == -1.0      # -0.0 component
+    assert -1e-8 < by_id[13][1][1] < 0                      # rounds to 0 from below
 
 
 # --------------------------------------------------------------------------

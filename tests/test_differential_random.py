@@ -195,6 +195,11 @@ def _gen_warehouse(rng: np.random.RandomState):
             vec = [0.0] * 8
         elif shape < 0.24:
             vec = [float("nan")] + [1.0] * 7
+        elif shape < 0.32:
+            # -0.0 component + a tiny negative that rounds to zero from
+            # below: DuckDB ROUND keeps the sign of zero; every consuming
+            # oracle carries `+ 0.0` (first_elem/min/max/sum/centroid)
+            vec = [-0.0, -1e-9] + [round(float(x), 3) for x in rng.randn(6)]
         else:
             vec = [round(float(x), 3) for x in rng.randn(8)]
         embeddings.append((i, vec, maybe(int(rng.randint(-1, 4)), 0.1)))

@@ -241,10 +241,11 @@ ROUND5_WINDOW = (
 )
 assert len(ROUND5_WINDOW) == 50, len(ROUND5_WINDOW)
 
-# The window the driver's 50-slot gate sees THIS round. Round 4 flips to
-# the staged ROUND4_WINDOW (CORRECTNESS_r03: 48/48 oracle green, 2
-# rows-only ran clean). Round 5 then takes ROUND5_WINDOW — see COVERAGE.md.
-_ACTIVE_WINDOW = ROUND4_WINDOW
+# The window the driver's 50-slot gate sees THIS round. Round 5 flips to
+# the staged ROUND5_WINDOW (CORRECTNESS_r04: 50/50 green) — the 25
+# never-driver-run queries + 25 re-proofs; after this round every one of
+# the 194 registered queries has >=1 driver row — see COVERAGE.md.
+_ACTIVE_WINDOW = ROUND5_WINDOW
 
 _missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
 assert not _missing, f"active window names not registered: {_missing}"

@@ -31,6 +31,27 @@ def _battery() -> list[float]:
                     1e15 + 0.5, 2.0**53, -(2.0**53), 1e300, -1e300,
                 ]
             ),
+            # double-rounding hazard class (a): the largest double BELOW a
+            # decimal halfway at each tested scale — adding 0.5 to these
+            # rounds UP in IEEE even though std::round must round DOWN.
+            np.array(
+                [
+                    s * math.nextafter(k + 0.5, -math.inf) / 10.0**d
+                    for d in (0, 1, 2, 4, 6)
+                    for k in (0.0, 1.0, 2.0, 123.0, 4503.0)
+                    for s in (1.0, -1.0)
+                ]
+            ),
+            # hazard class (b): odd-integer products in [2^52, 2^53) —
+            # +0.5 on these ties-to-even up a FULL unit of target scale.
+            np.array(
+                [
+                    s * float(2**52 + 2 * j + 1) / 10.0**d
+                    for d in (0, 1, 2, 4, 6)
+                    for j in (0, 1, 17, 999_999)
+                    for s in (1.0, -1.0)
+                ]
+            ),
         ]
     )
     return [float(v) for v in vals]

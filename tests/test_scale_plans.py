@@ -447,3 +447,69 @@ def test_pround_bind_projection_survives_optimization(spark):
     assert optimized.count("zip_with(qe") <= 2, (
         "cosine dot chain duplicated in the optimized plan"
     )
+
+
+# --- round-5 plan pins for the r4 bench drifters -------------------------
+# BENCH_r04 read these four >=1.2x their r3 medians; every solo control run
+# said "box band, not plans". These pins capture the CURRENT (correct)
+# physical shape so a future real regression is a test failure instead of a
+# bench forensic (VERDICT r4, task 3).
+
+
+def test_text_quality_scores_plan_is_shuffle_free_narrow_scan(spark):
+    """One codegen'd scan->project pipeline: no Exchange, no Window, a
+    single FileScan reading only (doc_id, text). Any shuffle or wider
+    ReadSchema here is a real plan regression, not band noise."""
+    df = REGISTRY["text_quality_scores"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan and "Window" not in plan
+    assert plan.count("FileScan") == 1
+    read_schema = next(l for l in _formatted(df).splitlines() if "ReadSchema" in l)
+    assert "text" in read_schema and "n_chars" not in read_schema
+
+
+def test_pipeline_quality_filter_plan_is_one_shuffle_agg(spark):
+    """Verdict cascade folds into the scan projection; exactly one
+    Exchange (partial->final count), two HashAggregates, no Window, and a
+    3-column ReadSchema (text, lang, n_chars)."""
+    df = REGISTRY["pipeline_quality_filter"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") == 2
+    assert "Window" not in plan and plan.count("FileScan") == 1
+    read_schema = next(l for l in _formatted(df).splitlines() if "ReadSchema" in l)
+    assert "doc_id" not in read_schema  # column pruning held
+
+
+def test_window_running_plan_is_single_window_single_shuffle(spark):
+    """All three framed aggregates (running sum, moving avg, count) share
+    ONE Window node over ONE Exchange on user_id — the r4 WindowExec
+    duplicate-expression fix, pinned. A second Window/Exchange means the
+    window outputs stopped sharing their spec."""
+    plan = _plan(REGISTRY["window_running"].fn(spark, SF_DIR))
+    assert plan.count("Window [") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    # the single Window node carries all three expressions
+    window_line = next(l for l in plan.splitlines() if "Window [" in l)
+    assert (
+        "sum(value" in window_line
+        and "avg(value" in window_line
+        and "count(1)" in window_line
+    )
+
+
+def test_simsearch_np_plan_has_partial_group_limit_and_pushed_filter(spark):
+    """BLAS twin: one MapInPandas scorer over a pruned scan with the
+    IsNotNull pushed to parquet, then map-side WindowGroupLimit (Partial)
+    before the single Exchange and the Final limit — top-k never shuffles
+    more than k rows per query per partition."""
+    df = REGISTRY["simsearch_topk_exact_np"].fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("MapInPandas") == 1
+    assert "WindowGroupLimit" in plan
+    partial_before_exchange = plan.index("Exchange hashpartitioning") < plan.rindex(
+        "WindowGroupLimit"
+    )
+    assert partial_before_exchange, "map-side Partial WindowGroupLimit missing"
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "PushedFilters: [IsNotNull(embedding)]" in _formatted(df)

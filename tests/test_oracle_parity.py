@@ -171,3 +171,33 @@ def test_sql_queries_do_not_clobber_user_temp_views(spark):
     finally:
         spark.catalog.dropTempView("orders")
         spark.catalog.dropTempView("customer")
+
+
+def test_driver_evidence_ledger_covers_every_registered_query():
+    """The 194/194 ledger, CI-pinned (VERDICT r4, task 4): every
+    registered query must have a driver row in some CORRECTNESS_r0*.json
+    OR sit in the currently-active window (the set the driver runs this
+    round). Once CORRECTNESS_r05 lands, the union of recorded rounds
+    alone covers the registry; until then the active window is the
+    in-flight evidence. A query that is neither recorded nor scheduled
+    is invisible coverage — exactly the gap rounds 3-5 existed to close."""
+    import json
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import _ACTIVE_WINDOW
+
+    repo = Path(__file__).resolve().parents[1]
+    seen: set[str] = set(_ACTIVE_WINDOW)
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        recorded = json.loads(path.read_text())
+        # count rows that ran clean: oracle-paired greens (err null) and
+        # rows-only queries (recorded as err='no_oracle' with a real
+        # spark_rows count). A genuinely ERRORed row is not evidence.
+        seen |= {
+            n
+            for n, v in recorded.items()
+            if not v.get("err")
+            or (v["err"] == "no_oracle" and v.get("spark_rows") is not None)
+        }
+    dark = sorted(n for n in REGISTRY if n not in seen)
+    assert not dark, f"queries with no driver row and no scheduled slot: {dark}"

@@ -150,3 +150,31 @@ def test_audio_features_query_sine_pins(spark):
         assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.01
         freq = 100 + (r["doc_id"] % 400)
         assert abs(r["zero_crossings"] - 2 * freq * 1024 / 8000) <= 2
+
+
+def test_registered_report_query_renders_golden_page(spark, tmp_path):
+    """Golden-equality for the REGISTERED query (VERDICT r4, task 5): the
+    driver-windowed `pipeline_report_offline` composes fetch-replay →
+    extract → prompt → LLM stub → render; its rendered page must be
+    byte-identical to tests/fixtures/golden_report.html (the reference
+    export_to_html :248-296 shape / index.html:26-33 analog), with the
+    clock pinned. A rows>0 driver row alone cannot see a corrupted
+    prompt, stub, or page shell — this pin can."""
+    from tests.conftest import SF_DIR
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    df = REGISTRY["pipeline_report_offline"].fn(spark, SF_DIR)
+    out = tmp_path / "report.html"
+    html = write_report_html(
+        df, str(out), now=datetime(2026, 1, 2, 3, 4, tzinfo=timezone.utc)
+    )
+    golden = (FIXTURES / "golden_report.html").read_text(encoding="utf-8")
+    assert html == golden
+    # and the page shell carries the reference's structural markers
+    for marker in (
+        "<h1>Rotterdam Swimming Advice</h1>",
+        '<div class="container">',
+        'class="timestamp">Last updated: 2026-01-02 03:04',
+        "<div>STUB:",
+    ):
+        assert marker in html

@@ -241,6 +241,69 @@ ROUND5_WINDOW = (
 )
 assert len(ROUND5_WINDOW) == 50, len(ROUND5_WINDOW)
 
+# Staged for round 6 (flip once CORRECTNESS_r05 lands): with 194/194
+# coverage reached, the rotation's job becomes re-proof freshness — these
+# are the 44 queries whose LATEST driver row is still round 2 (the oldest
+# evidence vintage in the ledger: the dedup/similarity/text/multimodal/
+# window/scalar/temporal tiers checked before the round-3 growth), plus
+# the first 6 of the round-3 vintage. Staged-window well-formedness is
+# pinned by tests/test_oracle_parity.py::test_round6_staged_window_is_well_formed.
+ROUND6_WINDOW = (
+    # round-2 vintage (44)
+    "data_profile_documents",
+    "dedup_embedding_cosine",
+    "dedup_exact_hash",
+    "dedup_first_event",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "funnel_signup_click_purchase",
+    "join_asof_last_click",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "pipeline_corpus_clean",
+    "pipeline_embedding_dedup",
+    "pipeline_embedding_dedup_lsh",
+    "scalar_array_funcs",
+    "scalar_collection_hash_funcs",
+    "scalar_datetime_funcs",
+    "scalar_explode_funcs",
+    "scalar_math_funcs",
+    "scalar_string_conditional_funcs",
+    "scalar_string_funcs",
+    "session_window_islands",
+    "session_window_native",
+    "set_intersect_all",
+    "simsearch_lsh_buckets",
+    "simsearch_topk_exact_np",
+    "simsearch_topk_ivf",
+    "simsearch_topk_lsh",
+    "sliding_window_counts",
+    "stream_static_join",
+    "text_fingerprint",
+    "text_langid_heuristic",
+    "text_stats_by_lang",
+    "text_stopword_ratio",
+    "text_tfidf",
+    "text_token_topk",
+    "tumbling_window_hourly",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_running",
+    "window_share_of_group",
+    "window_topk_per_group",
+    # round-3 vintage head (6)
+    "agg_collect_set",
+    "agg_histogram",
+    "cogroup_click_attribution",
+    "cohort_retention",
+    "data_quality_audit",
+    "dedup_paragraphs",
+)
+assert len(ROUND6_WINDOW) == 50, len(ROUND6_WINDOW)
+
 # The window the driver's 50-slot gate sees THIS round. Round 5 flips to
 # the staged ROUND5_WINDOW (CORRECTNESS_r04: 50/50 green) — the 25
 # never-driver-run queries + 25 re-proofs; after this round every one of

@@ -201,3 +201,33 @@ def test_driver_evidence_ledger_covers_every_registered_query():
         }
     dark = sorted(n for n in REGISTRY if n not in seen)
     assert not dark, f"queries with no driver row and no scheduled slot: {dark}"
+
+
+def test_round6_staged_window_is_well_formed():
+    """ROUND6_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
+    after CORRECTNESS_r05): 50 registered names, no overlap with the
+    round-5 window, and — since 194/194 coverage is reached once r5 lands
+    — every slot re-proves a query whose LATEST recorded driver row is
+    the round-2/3 vintage (evidence freshness, oldest first)."""
+    import json
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND5_WINDOW, ROUND6_WINDOW
+
+    assert len(ROUND6_WINDOW) == 50
+    missing = [n for n in ROUND6_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert not set(ROUND6_WINDOW) & set(ROUND5_WINDOW)
+
+    repo = Path(__file__).resolve().parents[1]
+    latest: dict[str, int] = {}
+    for path in sorted(repo.glob("CORRECTNESS_r0*.json")):
+        rnd = int(path.stem[-2:])
+        for n, v in json.loads(path.read_text()).items():
+            clean = (not v.get("err")) or (
+                v["err"] == "no_oracle" and v.get("spark_rows") is not None
+            )
+            if clean:
+                latest[n] = max(latest.get(n, 0), rnd)
+    stale = [n for n in ROUND6_WINDOW if latest.get(n, 0) > 3]
+    assert not stale, f"round-6 slots wasted on fresh evidence: {stale}"

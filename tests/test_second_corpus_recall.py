@@ -121,3 +121,15 @@ def test_lsh_candidate_fraction_stays_sublinear_on_clusters(spark, corpus_dir):
     )
     frac = cands / (10 * (n - 1))
     assert frac < 0.3, f"banding degenerated to a corpus scan: {frac}"
+
+
+def test_pq_defaults_recall_on_clustered_corpus(spark, corpus_dir, exact_pairs):
+    """SAME registered PQ defaults (subquantizer layout, ADC scoring):
+    product-quantization error is small relative to the inter-cluster
+    separation, so the true near-dup top-5 must survive ADC ranking.
+    Measured 1.00 at build time; ≥0.9 asserted (the fixture-corpus pin
+    in test_vectors_tokenizer.py stays at 0.8 — random gaussians are the
+    harder regime for ADC, same story as the LSH bands)."""
+    approx = _topk_pairs(REGISTRY["simsearch_topk_pq"].fn(spark, corpus_dir))
+    recall = len(exact_pairs & approx) / len(exact_pairs)
+    assert recall >= 0.9, f"PQ defaults overfit to the gaussian fixture: {recall}"

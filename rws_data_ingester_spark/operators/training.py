@@ -55,10 +55,15 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Stage id-sets -------------------------------------------------------
-    # 1. exact dedup: keep min doc_id per content hash (bodies never shuffle)
+    # 1. exact dedup: keep min doc_id per content hash (bodies never shuffle).
+    #    Checkpointed (lazily) because it has two consumers on different
+    #    timelines: the near-dup chain below executes it at CONSTRUCTION
+    #    time (inside the CC edge checkpoint), and the flag-cascade join
+    #    executes at action time — without the cut, the content-hash agg
+    #    runs twice. Materialized state is one long per surviving doc.
     keepers = d.groupBy(F.sha2("text", 256).alias("h")).agg(
         F.min("doc_id").alias("doc_id")
-    ).select("doc_id")
+    ).select("doc_id").localCheckpoint(eager=False)
     s1 = d.join(keepers, "doc_id", "left_semi")
 
     # 2. near-dup removal: MinHash → LSH star edges (linear in bucket

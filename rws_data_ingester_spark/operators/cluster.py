@@ -126,17 +126,13 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
-def _driver_components(half: DataFrame) -> DataFrame:
-    """Union-find over a collected (checkpointed, small-by-gate) edge
-    list → the same ``(id, component)`` labeling as the distributed
-    propagation: union-by-min-root keeps every tree's root equal to the
-    minimum id of its set, so ``find(x)`` IS the min reachable id."""
-    from pyspark.sql import types as T
-
-    id_type = half.schema["src"].dataType
-    schema = T.StructType(
-        [T.StructField("id", id_type), T.StructField("component", id_type)]
-    )
+def union_find_labels(pairs) -> dict:
+    """Union-find with path compression over an iterable of (a, b) pairs
+    → {id: component} for every edge-touching id. Union-by-min-root
+    keeps each tree's root equal to the minimum id of its set, so
+    ``find(x)`` IS the min reachable id — the exact labeling the
+    distributed min-label propagation produces (property-tested against
+    a BFS reference in tests/test_cluster_mixing.py)."""
     parent: dict = {}
 
     def find(x):
@@ -148,15 +144,28 @@ def _driver_components(half: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in half.collect():
-        ra, rb = find(row[0]), find(row[1])
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
         if ra != rb:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
 
-    data = [(x, find(x)) for x in list(parent)]
-    return half.sparkSession.createDataFrame(data, schema)
+    return {x: find(x) for x in list(parent)}
+
+
+def _driver_components(half: DataFrame) -> DataFrame:
+    """Union-find over a collected (checkpointed, small-by-gate) edge
+    list → the same ``(id, component)`` labeling as the distributed
+    propagation."""
+    from pyspark.sql import types as T
+
+    id_type = half.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    )
+    labels = union_find_labels((row[0], row[1]) for row in half.collect())
+    return half.sparkSession.createDataFrame(list(labels.items()), schema)
 
 
 def _with_isolated(labels: DataFrame, vertices: DataFrame | None) -> DataFrame:

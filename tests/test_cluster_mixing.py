@@ -350,3 +350,52 @@ def test_cc_empty_edges_both_paths(spark):
             ).collect()
         }
         assert comp == {3: 3, 5: 5, 9: 9}
+
+
+def test_driver_union_find_matches_bfs_reference():
+    """Property test for the pure-Python half of the round-5 fast path —
+    the REAL `union_find_labels` used by `_driver_components`, not a
+    copy: union-by-min-root labels == BFS components (min member as
+    label) over many random graph shapes — sizes, densities, id ranges,
+    self-loops, duplicate and reversed edges. No Spark needed: this
+    exercises the algorithm at breadths the DataFrame equivalence tests
+    can't afford."""
+    import random
+    from collections import defaultdict, deque
+
+    from rws_data_ingester_spark.operators.cluster import union_find_labels
+
+    def bfs_components(edges):
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        label, seen = {}, set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp, q = [], deque([start])
+            seen.add(start)
+            while q:
+                x = q.popleft()
+                comp.append(x)
+                for y in adj[x]:
+                    if y not in seen:
+                        seen.add(y)
+                        q.append(y)
+            m = min(comp)
+            for x in comp:
+                label[x] = m
+        return label
+
+    rng = random.Random(20260815)
+    for trial in range(200):
+        n = rng.randrange(2, 300)
+        m = rng.randrange(0, 2 * n)
+        lo = rng.choice([0, 1, 10**9, -50])
+        edges = [
+            (lo + rng.randrange(n), lo + rng.randrange(n)) for _ in range(m)
+        ]
+        if trial % 3 == 0:
+            edges += [(a, b) for b, a in edges[: m // 2]]  # reversed dups
+        assert union_find_labels(edges) == bfs_components(edges), f"trial {trial}"

@@ -1,21 +1,37 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: median_sec, ...}, "sf": ..., "controls": {...}}.
 
-Each query is executed to completion (count() action — results are
-consumed, not collected to the driver, so the measurement is engine time,
-not driver materialization). One warm-up of the flagship query primes the
-JVM/codegen so numbers reflect steady state.
+The compact line is deliberately small (≈1 KB) so the driver's output-tail
+capture always parses it — BENCH_r05's enriched single line outgrew the
+capture and landed as `parsed: null`. The full evidence blob (raw samples
+per query, control probe values, settle history, warm-up times) is written
+to ``bench_samples.json`` next to this script instead, referenced from the
+compact line via ``samples_file``.
 
-Self-evidencing protocol (BASELINE.md band story, made checkable from the
-artifact alone): a fixed 3-query CONTROL PROBE (q1, inner join, running
-window — plans untouched since round 1) runs once FIRST and once LAST;
-its per-query deltas and their mean are emitted under "controls". A
-contended box inflates the probe uniformly (band); a plan regression
-moves specific headline queries while the probe stays flat. Raw samples
-for every headline query are emitted under "samples" so a judge can
-recompute medians / spread without rerunning.
+Measurement protocol (BASELINE.md band story, self-evidencing):
+- Each query is executed to completion (count() action — results are
+  consumed, not collected, so the measurement is engine time).
+- One UNTIMED warm-up pass over ALL headline queries runs first: BENCH_r05
+  showed the first timed run is the max for nearly every query (codegen /
+  JIT compile inside the median), and compiling 24 distinct queries warms
+  the JVM enough to move a control probe taken beforehand by ~30%.
+- SETTLE phase (after the warm-up pass): the fixed 3-query control probe
+  (q1, inner join, running window — plans untouched since round 1) is
+  re-run (bounded, ≤5 probes) until two consecutive probes agree within
+  10%, so the timed run starts on a box at steady state rather than
+  mid-drift (r5 started at −43.7%).
+- The settled probe runs once FIRST and once LAST; per-query drift and the
+  mean are emitted under "controls". A contended box inflates the probe
+  uniformly (band); a plan regression moves specific headline queries
+  while the probe stays flat.
+- Median of n runs per query; the two widest-spread queries
+  (pipeline_training_data: CC fixpoint + two localCheckpoint
+  materializations; dedup_minhash_candidates: largest non-funnel query,
+  samples still descending at n=3 in r5) sample at n>=5 so their medians
+  converge instead of driving the total's band. Per-query run counts are
+  disclosed under "runs".
 """
 
 from __future__ import annotations
@@ -66,6 +82,11 @@ HEADLINE = [
     "pipeline_training_data",
 ]
 
+CONTROLS = ["q1_pricing_summary", "join_inner_customer_orders", "window_running"]
+
+SETTLE_MAX_PROBES = 5
+SETTLE_TOLERANCE = 0.10
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,23 +99,43 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).count()
         return round(time.perf_counter() - t0, 3)
 
-    # Warm-up: JVM + codegen + parquet footer caches — including one pass
-    # over each control query, so the FIRST probe measures box state, not
-    # first-execution codegen compile.
-    controls = ["q1_pricing_summary", "join_inner_customer_orders", "window_running"]
-    for n in controls:
-        run_once(n)
+    # GLOBAL WARM-UP: one untimed pass over every headline query BEFORE
+    # anything is measured. Two reasons: (a) BENCH_r05 showed the first
+    # timed run is the max for nearly every query (codegen/JIT compile
+    # inside the median); (b) compiling 24 distinct queries warms the JVM
+    # so much that a control probe taken before this pass reads ~30% slow
+    # — the settle probes below must see the box the TIMED queries will
+    # see, or first-vs-last control drift measures our own warm-up.
+    warmups: dict[str, float] = {n: run_once(n) for n in HEADLINE}
 
-    ctrl_first = {n: run_once(n) for n in controls}
+    def probe() -> dict[str, float]:
+        return {n: run_once(n) for n in CONTROLS}
 
-    # Median of 3 runs per query (BASELINE.md protocol): single runs show
+    def probe_median3() -> dict[str, float]:
+        # single control runs carry ±20% noise at sub-second timings —
+        # a drift number computed from two single runs would mostly
+        # measure that noise, so both endpoints are medians of 3.
+        ps = [probe() for _ in range(3)]
+        return {n: sorted(p[n] for p in ps)[1] for n in CONTROLS}
+
+    # SETTLE: probe until two consecutive probe-set totals agree within
+    # SETTLE_TOLERANCE (bounded), then take the median-of-3 first reading.
+    settle_history: list[dict[str, float]] = [probe()]
+    while len(settle_history) < SETTLE_MAX_PROBES:
+        nxt = probe()
+        prev_total = sum(settle_history[-1].values())
+        settle_history.append(nxt)
+        if prev_total > 0 and abs(sum(nxt.values()) - prev_total) / prev_total <= SETTLE_TOLERANCE:
+            break
+    ctrl_first = probe_median3()
+
+    # Median of n runs per query (BASELINE.md protocol): single runs show
     # ±0.3 s noise on this box, which swamps small plan-level regressions.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    # pipeline_training_data dominates the headline (~30%) and its CC
-    # fixpoint + two localCheckpoint materializations give it the widest
-    # spread of any query (4.9-6.8 s across rounds) — sample it at n>=5
-    # so its median converges instead of driving the whole total's band.
-    extra_runs = {"pipeline_training_data": max(n_runs, 5)}
+    extra_runs = {
+        "pipeline_training_data": max(n_runs, 5),
+        "dedup_minhash_candidates": max(n_runs, 5),
+    }
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
@@ -102,12 +143,36 @@ def main() -> None:
         raw[name] = samples
         timings[name] = sorted(samples)[len(samples) // 2]
 
-    ctrl_last = {n: run_once(n) for n in controls}
-    drifts = [
-        (ctrl_last[n] - ctrl_first[n]) / ctrl_first[n] * 100.0 for n in controls
-    ]
+    ctrl_last = probe_median3()
+    # Drift guard (round-5 ADVICE): run_once rounds to 3 decimals, so a
+    # sub-0.5 ms control would record 0.0 — emit null for that control
+    # instead of dividing by zero.
+    drift_pct: dict[str, float | None] = {}
+    for n in CONTROLS:
+        if ctrl_first[n] == 0.0:
+            drift_pct[n] = None
+        else:
+            drift_pct[n] = round(
+                (ctrl_last[n] - ctrl_first[n]) / ctrl_first[n] * 100.0, 1
+            )
+    finite = [d for d in drift_pct.values() if d is not None]
+    mean_drift = round(sum(finite) / len(finite), 1) if finite else None
 
     total = round(sum(timings.values()), 3)
+    samples_path = REPO / "bench_samples.json"
+    samples_path.write_text(
+        json.dumps(
+            {
+                "sf": sf,
+                "samples": raw,
+                "warmups": warmups,
+                "settle_history": settle_history,
+                "controls": {"first": ctrl_first, "last": ctrl_last},
+            },
+            indent=1,
+        )
+        + "\n"
+    )
     print(
         json.dumps(
             {
@@ -116,16 +181,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                "runs_per_query": n_runs,
-                "samples": raw,
+                "runs": {"default": n_runs, **extra_runs},
                 "controls": {
-                    "first": ctrl_first,
-                    "last": ctrl_last,
-                    "drift_pct": {
-                        n: round(d, 1) for n, d in zip(controls, drifts)
-                    },
-                    "mean_drift_pct": round(sum(drifts) / len(drifts), 1),
+                    "drift_pct": drift_pct,
+                    "mean_drift_pct": mean_drift,
+                    "settle_probes": len(settle_history),
                 },
+                "samples_file": samples_path.name,
             }
         )
     )

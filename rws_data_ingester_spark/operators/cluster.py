@@ -63,6 +63,13 @@ def connected_components(
     with columns ``(id_a, id_b)`` → ``(id, component)`` where
     ``component`` is the minimum node id reachable from ``id``.
 
+    **EAGER**: calling this function executes Spark jobs immediately — the
+    edge lineage is materialized once (``localCheckpoint``) and counted to
+    pick a strategy, and the propagation loop's per-round convergence
+    probes are actions. Callers that only want to inspect a plan or schema
+    without paying the (possibly corpus-wide) edge computation should not
+    call this until they intend to run it.
+
     ``vertices`` (single-column ``id`` DataFrame) optionally adds
     isolated nodes, which come back as their own component. Raises
     ``RuntimeError`` if the fixpoint is not reached within ``max_iter``
@@ -157,14 +164,29 @@ def union_find_labels(pairs) -> dict:
 def _driver_components(half: DataFrame) -> DataFrame:
     """Union-find over a collected (checkpointed, small-by-gate) edge
     list → the same ``(id, component)`` labeling as the distributed
-    propagation."""
+    propagation.
+
+    Dirty-input parity with the distributed path (round-5 ADVICE): edges
+    with a NULL endpoint are dropped before collecting — the propagation
+    path tolerates them implicitly (``F.min`` skips nulls, joins drop
+    them), while a null reaching ``union_find_labels`` would raise on the
+    ``rb < ra`` compare. Mixed src/dst id types are rejected up front:
+    the output schema is typed from one side, so a component value drawn
+    from the other side could fail createDataFrame verification where the
+    distributed union path would silently coerce."""
     from pyspark.sql import types as T
 
-    id_type = half.schema["src"].dataType
-    schema = T.StructType(
-        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    src_type = half.schema["src"].dataType
+    dst_type = half.schema["dst"].dataType
+    assert src_type == dst_type, (
+        f"edge endpoint types must match: id_a={src_type}, id_b={dst_type}"
     )
-    labels = union_find_labels((row[0], row[1]) for row in half.collect())
+    schema = T.StructType(
+        [T.StructField("id", src_type), T.StructField("component", src_type)]
+    )
+    labels = union_find_labels(
+        (row[0], row[1]) for row in half.na.drop().collect()
+    )
     return half.sparkSession.createDataFrame(list(labels.items()), schema)
 
 

@@ -186,7 +186,24 @@ def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Small-file compaction — the other chronic physical-layout problem.
 # --------------------------------------------------------------------------
-@query("sink_compaction", oracle=None)  # file counts are size-dependent → rows-only
+@query(
+    "sink_compaction",
+    # Oracle (VERDICT r5, task 6): the audit is reduced to its
+    # layout-INDEPENDENT facts — row identity across the rewrite (both
+    # phase row counts equal the source table's), the deliberate 64-way
+    # fragmentation (round-robin repartition fills every partition when
+    # rows >= 64, so exactly 64 files), and the boolean that compaction
+    # reduced the file count (the compacted count itself is a function of
+    # parquet-encoded BYTES, which wobble per run — it stays out of the
+    # hashed output and is pinned relationally instead).
+    oracle="""
+        SELECT count(*) AS n_rows_fragmented,
+               count(*) AS n_rows_compacted,
+               CAST(64 AS BIGINT) AS n_files_fragmented,
+               true AS files_reduced
+        FROM events
+    """,
+)
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction (the OPTIMIZE/rewriteDataFiles analog):
     deliberately fragment events into 64 tiny parquet files, then rewrite
@@ -195,8 +212,9 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-parallel writer leaves thousands of KB-files per partition;
     every future scan then pays one task + one footer read per file, so
     periodic compaction is what keeps a 100 TB table scannable. Returns a
-    per-phase audit (files, rows, bytes); the test asserts the compacted
-    copy has fewer files and identical rows.
+    one-row audit (per-phase rows, fragmented file count, reduced flag),
+    oracle-checked against the source table; tests additionally pin the
+    raw per-phase file counts.
 
     File sizes come from a driver-side listing — bounded by the file
     COUNT, not data size (at cluster scale the same numbers come from the
@@ -233,4 +251,16 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
 
-    return _audit(frag, "fragmented").unionByName(_audit(comp, "compacted"))
+    per_phase = _audit(frag, "fragmented").unionByName(_audit(comp, "compacted"))
+    # Fold to the oracle-stable one-row form (conditional agg, no join —
+    # a 1-row cross join would tempt a CartesianProduct into the plan).
+    is_frag = F.col("phase") == "fragmented"
+    return per_phase.agg(
+        F.max(F.when(is_frag, F.col("n_rows"))).alias("n_rows_fragmented"),
+        F.max(F.when(~is_frag, F.col("n_rows"))).alias("n_rows_compacted"),
+        F.max(F.when(is_frag, F.col("n_files"))).alias("n_files_fragmented"),
+        (
+            F.max(F.when(~is_frag, F.col("n_files")))
+            < F.max(F.when(is_frag, F.col("n_files")))
+        ).alias("files_reduced"),
+    )

@@ -294,21 +294,93 @@ ROUND6_WINDOW = (
     "window_running",
     "window_share_of_group",
     "window_topk_per_group",
-    # round-3 vintage head (6)
+    # round-3 vintage head (2)
     "agg_collect_set",
     "agg_histogram",
+    # newly oracle-paired this round (4, VERDICT r5 task 6): these moved
+    # from rows-only to DuckDB-paired in round 6, so their oracles have
+    # never been driver-checked — first-proof slots, not re-proofs. The
+    # four round-3 heads they displace are staged in ROUND7_WINDOW.
+    "sink_compaction",
+    "source_schema_evolution",
+    "source_json_corrupt_records",
+    "pipeline_pack_sequences",
+)
+assert len(ROUND6_WINDOW) == 50, len(ROUND6_WINDOW)
+
+# Staged for round 7 (flip once CORRECTNESS_r06 lands): the freshness
+# rotation continues oldest-first — the 44 remaining round-3-vintage
+# queries (round-3 ledger minus the 6 promoted into ROUND6_WINDOW) plus
+# the 6 alphabetically-first round-4-vintage heads. Recomputed from
+# ∪CORRECTNESS_r0*.json per the from-round-6-on policy in COVERAGE.md;
+# well-formedness pinned by
+# tests/test_oracle_parity.py::test_round7_staged_window_is_well_formed.
+ROUND7_WINDOW = (
+    # round-3 vintage remainder (44)
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "engagement_rolling_active",
+    "grouped_map_zscore",
+    "ids_assign_contiguous",
+    "join_lateral_topn",
+    "join_null_safe",
+    "join_salted_skew",
+    "multimodal_audio_features",
+    "multimodal_image_decode",
+    "pipeline_cached_reuse",
+    "pipeline_data_mix",
+    "pipeline_mix_temperature",
+    "pipeline_quality_filter",
+    "pipeline_train_val_test",
+    "rollup_time_hierarchy",
+    "sample_deterministic",
+    "sample_stratified_capped",
+    "scalar_bitwise",
+    "scalar_encode_map_funcs",
+    "scalar_generators",
+    "scd2_intervals",
+    "sql_passthrough_segment_revenue",
+    "stream_dedup_within_watermark",
+    "stream_parquet_sink_recovery",
+    "stream_scheduled_refresh",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_static_enrich_purchases",
+    "stream_tumbling_counts",
+    "text_chunk_overlap",
+    "text_contamination",
+    "text_length_outliers",
+    "text_pii_redact",
+    "text_repetition",
+    "text_token_count_bpe",
+    "text_vocab_oov",
+    "timeseries_anomaly_zscore",
+    "timeseries_gapfill",
+    "trend_wow_revenue",
+    "udaf_geomean_price",
+    "udf_scalar_vowels",
+    "udf_sql_registered",
+    "udtf_bigrams",
+    # round-3 vintage heads displaced from ROUND6_WINDOW by the four
+    # newly-oracle-paired first-proof slots (4)
     "cogroup_click_attribution",
     "cohort_retention",
     "data_quality_audit",
     "dedup_paragraphs",
+    # round-4 vintage head (2)
+    "agg_basic",
+    "agg_bool",
 )
-assert len(ROUND6_WINDOW) == 50, len(ROUND6_WINDOW)
+assert len(ROUND7_WINDOW) == 50, len(ROUND7_WINDOW)
 
-# The window the driver's 50-slot gate sees THIS round. Round 5 flips to
-# the staged ROUND5_WINDOW (CORRECTNESS_r04: 50/50 green) — the 25
-# never-driver-run queries + 25 re-proofs; after this round every one of
-# the 194 registered queries has >=1 driver row — see COVERAGE.md.
-_ACTIVE_WINDOW = ROUND5_WINDOW
+# The window the driver's 50-slot gate sees THIS round. Round 6 flips to
+# the staged ROUND6_WINDOW (CORRECTNESS_r05: 50/50 clean — 194/194
+# coverage reached): with every query driver-evidenced, the rotation's
+# job is now evidence FRESHNESS — re-prove the 44 round-2-vintage greens
+# (whose last driver row predates the round-3-5 growth and the pround
+# migration) + the 6 oldest round-3 heads on current code. COVERAGE.md
+# keeps the vintage ledger.
+_ACTIVE_WINDOW = ROUND6_WINDOW
 
 _missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
 assert not _missing, f"active window names not registered: {_missing}"

@@ -230,7 +230,22 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("source_schema_evolution", oracle=None)  # file-layout-dependent → rows-only
+@query(
+    "source_schema_evolution",
+    # Oracle (VERDICT r5, task 6): the merged-read audit is pure SQL over
+    # the source table — generations split on event_id parity, so the
+    # NULL back-fill count is the even-id count, the scored count the
+    # odd-id count, and mergeSchema must lose no rows. The only
+    # file-layout-dependent quantity (which FILES hold which generation)
+    # never reaches the output.
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (WHERE event_id % 2 = 0) AS n_backfilled_nulls,
+               count(*) FILTER (WHERE event_id % 2 = 1) AS n_scored,
+               CAST(2 AS BIGINT) AS n_generations
+        FROM events
+    """,
+)
 def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on read: an old-schema partition (no
     quality_score column) and a new-schema partition live in one dataset;
@@ -262,7 +277,26 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("source_json_corrupt_records", oracle=None)  # synthetic bad lines → rows-only
+@query(
+    "source_json_corrupt_records",
+    # Oracle (VERDICT r5, task 6): the quarantine audit is count algebra —
+    # LIMIT 100 of the source rides along with exactly 5 synthetic broken
+    # lines, every real row parses (event_id/event_type are non-null in
+    # the generated events table), and PERMISSIVE mode nulls the data
+    # columns of corrupt lines. Which 100 rows the limit picks does not
+    # matter; only how many.
+    oracle="""
+        WITH g AS (
+            SELECT count(*) AS n
+            FROM (SELECT event_id FROM events LIMIT 100) t
+        )
+        SELECT CAST(n + 5 AS BIGINT) AS n_lines,
+               CAST(n AS BIGINT) AS n_good,
+               CAST(5 AS BIGINT) AS n_corrupt,
+               CAST(n AS BIGINT) AS n_typed
+        FROM g
+    """,
+)
 def source_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-input handling on the JSON scan: PERMISSIVE mode parses
     what it can and quarantines broken lines into a corrupt-record

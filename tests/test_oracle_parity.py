@@ -203,31 +203,112 @@ def test_driver_evidence_ledger_covers_every_registered_query():
     assert not dark, f"queries with no driver row and no scheduled slot: {dark}"
 
 
-def test_round6_staged_window_is_well_formed():
-    """ROUND6_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
-    after CORRECTNESS_r05): 50 registered names, no overlap with the
-    round-5 window, and — since 194/194 coverage is reached once r5 lands
-    — every slot re-proves a query whose LATEST recorded driver row is
-    the round-2/3 vintage (evidence freshness, oldest first)."""
+def _latest_driver_round(repo, through_round: int | None = None) -> dict[str, int]:
+    """Each query's latest CLEAN driver round from ∪CORRECTNESS_r0*.json
+    (oracle-paired green, or rows-only that executed with a real row
+    count). ``through_round`` caps the files considered — staged-window
+    pins use the evidence that existed AT STAGING TIME, so a later
+    round's artifact can't retroactively fail a historical pin."""
     import json
-    from pathlib import Path
 
-    from rws_data_ingester_spark.plans import REGISTRY, ROUND5_WINDOW, ROUND6_WINDOW
-
-    assert len(ROUND6_WINDOW) == 50
-    missing = [n for n in ROUND6_WINDOW if n not in REGISTRY]
-    assert not missing, missing
-    assert not set(ROUND6_WINDOW) & set(ROUND5_WINDOW)
-
-    repo = Path(__file__).resolve().parents[1]
     latest: dict[str, int] = {}
     for path in sorted(repo.glob("CORRECTNESS_r0*.json")):
         rnd = int(path.stem[-2:])
+        if through_round is not None and rnd > through_round:
+            continue
         for n, v in json.loads(path.read_text()).items():
             clean = (not v.get("err")) or (
                 v["err"] == "no_oracle" and v.get("spark_rows") is not None
             )
             if clean:
                 latest[n] = max(latest.get(n, 0), rnd)
-    stale = [n for n in ROUND6_WINDOW if latest.get(n, 0) > 3]
+    return latest
+
+
+def test_round6_staged_window_is_well_formed():
+    """ROUND6_WINDOW (active in round 6, staged after CORRECTNESS_r05):
+    50 registered names, and — since 194/194 coverage was reached when r5
+    landed — every slot either re-proves a query whose LATEST driver row
+    at staging time (through r05) was the round-2/3 vintage (evidence
+    freshness, oldest first) or first-proves an oracle newly paired in
+    round 6 (rows-only → DuckDB-paired, so the ORACLE has never been
+    driver-checked even though the query ran rows-only in r5)."""
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND5_WINDOW, ROUND6_WINDOW
+
+    newly_paired_r6 = {
+        "sink_compaction",
+        "source_schema_evolution",
+        "source_json_corrupt_records",
+        "pipeline_pack_sequences",
+    }
+
+    assert len(ROUND6_WINDOW) == 50
+    missing = [n for n in ROUND6_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert set(ROUND6_WINDOW) & set(ROUND5_WINDOW) == newly_paired_r6
+    # the newly-paired slots must actually carry an oracle now
+    unpaired = [n for n in newly_paired_r6 if REGISTRY[n].oracle is None]
+    assert not unpaired, f"claimed newly-paired but oracle-less: {unpaired}"
+
+    repo = Path(__file__).resolve().parents[1]
+    latest = _latest_driver_round(repo, through_round=5)
+    stale = [
+        n
+        for n in ROUND6_WINDOW
+        if n not in newly_paired_r6 and latest.get(n, 0) > 3
+    ]
     assert not stale, f"round-6 slots wasted on fresh evidence: {stale}"
+
+
+def test_round7_staged_window_is_well_formed():
+    """ROUND7_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
+    after CORRECTNESS_r06): 50 registered names, no overlap with the
+    round-6 window, and every slot continues the freshness rotation —
+    at staging time (evidence through r05) each slot's latest driver row
+    is round-3/4 vintage, i.e. the oldest evidence remaining once the
+    round-6 window re-proves the round-2 tier."""
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND6_WINDOW, ROUND7_WINDOW
+
+    assert len(ROUND7_WINDOW) == 50
+    missing = [n for n in ROUND7_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert not set(ROUND7_WINDOW) & set(ROUND6_WINDOW)
+
+    repo = Path(__file__).resolve().parents[1]
+    latest = _latest_driver_round(repo, through_round=5)
+    stale = [n for n in ROUND7_WINDOW if latest.get(n, 0) > 4]
+    assert not stale, f"round-7 slots wasted on fresh evidence: {stale}"
+    never = [n for n in ROUND7_WINDOW if latest.get(n, 0) == 0]
+    assert not never, f"round-7 slots on never-evidenced queries (use a dark-tier window): {never}"
+
+
+def test_evidence_freshness_rotation_cannot_stall():
+    """Freshness gate (VERDICT r5, task 7): every registered query's
+    evidence — its latest clean driver row, or its slot in the currently
+    active window (in-flight evidence for THIS round) — must be no older
+    than GRACE_ROUNDS behind the current round. If the rotation ever
+    stalls (a window re-proves fresh queries while old vintage ages out),
+    this fails before the ledger silently rots."""
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, _ACTIVE_WINDOW
+
+    GRACE_ROUNDS = 4
+
+    repo = Path(__file__).resolve().parents[1]
+    latest = _latest_driver_round(repo)
+    current_round = max(latest.values(), default=0) + 1
+    active = set(_ACTIVE_WINDOW)
+    stale = sorted(
+        n
+        for n in REGISTRY
+        if n not in active and current_round - latest.get(n, 0) > GRACE_ROUNDS
+    )
+    assert not stale, (
+        f"queries whose driver evidence is >{GRACE_ROUNDS} rounds old and "
+        f"not scheduled this round: {stale}"
+    )

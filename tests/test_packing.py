@@ -12,7 +12,12 @@ BUDGET = 256
 
 
 def _packed(spark):
-    return REGISTRY["pipeline_pack_sequences"].fn(spark, SF_DIR).collect()
+    # the per-sequence detail frame (the registered query reduces it to
+    # oracle-checkable conservation invariants; these tests pin the
+    # partition-layout-dependent detail the oracle cannot see)
+    from rws_data_ingester_spark.operators.packing import pack_documents_detail
+
+    return pack_documents_detail(spark, SF_DIR).collect()
 
 
 def test_every_doc_packed_exactly_once(spark):

@@ -193,9 +193,12 @@ def test_temperature_mixing_upweights_small_sources(spark):
 # Compaction
 # --------------------------------------------------------------------------
 def test_compaction_reduces_files_preserves_rows(spark):
-    rows = {r["phase"]: r for r in REGISTRY["sink_compaction"].fn(spark, SF_DIR).collect()}
-    assert rows["compacted"]["n_files"] < rows["fragmented"]["n_files"]
-    assert rows["compacted"]["n_rows"] == rows["fragmented"]["n_rows"]
+    [row] = REGISTRY["sink_compaction"].fn(spark, SF_DIR).collect()
+    assert row["files_reduced"]
+    assert row["n_files_fragmented"] == 64
+    assert row["n_rows_compacted"] == row["n_rows_fragmented"]
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert row["n_rows_fragmented"] == n_events
 
 
 # --------------------------------------------------------------------------

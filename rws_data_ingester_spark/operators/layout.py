@@ -190,17 +190,20 @@ def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_compaction",
     # Oracle (VERDICT r5, task 6): the audit is reduced to its
     # layout-INDEPENDENT facts — row identity across the rewrite (both
-    # phase row counts equal the source table's), the deliberate 64-way
-    # fragmentation (round-robin repartition fills every partition when
-    # rows >= 64, so exactly 64 files), and the boolean that compaction
-    # reduced the file count (the compacted count itself is a function of
-    # parquet-encoded BYTES, which wobble per run — it stays out of the
-    # hashed output and is pinned relationally instead).
+    # phase row counts equal the source table's) and the boolean that
+    # compaction did not worsen the layout (strictly fewer files, or the
+    # rewrite is already at the 1-file floor — the degenerate-input case:
+    # sub-64-row tables fragment to an AQE-dependent file count, and an
+    # empty table round-trips through single schema-bearing empty files).
+    # Exact file counts are a function of parquet-encoded BYTES, which
+    # wobble per run and per row count — they stay out of the hashed
+    # output and are pinned at fixture scale by the unit test over the
+    # per-phase helper. Holds while the fragmented copy stays under
+    # 64 × target_file_bytes (256 MB) — far above any test warehouse.
     oracle="""
         SELECT count(*) AS n_rows_fragmented,
                count(*) AS n_rows_compacted,
-               CAST(64 AS BIGINT) AS n_files_fragmented,
-               true AS files_reduced
+               true AS compaction_not_worse
         FROM events
     """,
 )
@@ -212,9 +215,33 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     over-parallel writer leaves thousands of KB-files per partition;
     every future scan then pays one task + one footer read per file, so
     periodic compaction is what keeps a 100 TB table scannable. Returns a
-    one-row audit (per-phase rows, fragmented file count, reduced flag),
-    oracle-checked against the source table; tests additionally pin the
-    raw per-phase file counts.
+    one-row oracle-stable audit (per-phase rows + not-worse flag); the
+    unit test pins the exact per-phase FILE counts at fixture scale via
+    ``compaction_phase_audit``."""
+    per_phase = compaction_phase_audit(spark, sf_dir)
+    # Fold to the oracle-stable one-row form (conditional agg, no join —
+    # a 1-row cross join would tempt a CartesianProduct into the plan).
+    is_frag = F.col("phase") == "fragmented"
+    comp_files = F.max(F.when(~is_frag, F.col("n_files")))
+    frag_files = F.max(F.when(is_frag, F.col("n_files")))
+    return per_phase.agg(
+        F.max(F.when(is_frag, F.col("n_rows"))).alias("n_rows_fragmented"),
+        F.max(F.when(~is_frag, F.col("n_rows"))).alias("n_rows_compacted"),
+        # strictly fewer files, or already at the 1-file floor (the
+        # degenerate tiny/empty-table case where "fragmenting" cannot
+        # produce a meaningfully worse layout to begin with)
+        ((comp_files < frag_files) | (comp_files <= 1)).alias(
+            "compaction_not_worse"
+        ),
+    )
+
+
+def compaction_phase_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-phase detail behind ``sink_compaction``: fragment → rewrite
+    → (phase, n_files, n_rows) per phase. File counts below ~64 rows are
+    AQE-layout-dependent (observed: 3 rows → 4 files), which is why the
+    registered query reduces them to the not-worse boolean and only the
+    fixture-scale unit test asserts exact counts.
 
     File sizes come from a driver-side listing — bounded by the file
     COUNT, not data size (at cluster scale the same numbers come from the
@@ -251,16 +278,4 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
 
-    per_phase = _audit(frag, "fragmented").unionByName(_audit(comp, "compacted"))
-    # Fold to the oracle-stable one-row form (conditional agg, no join —
-    # a 1-row cross join would tempt a CartesianProduct into the plan).
-    is_frag = F.col("phase") == "fragmented"
-    return per_phase.agg(
-        F.max(F.when(is_frag, F.col("n_rows"))).alias("n_rows_fragmented"),
-        F.max(F.when(~is_frag, F.col("n_rows"))).alias("n_rows_compacted"),
-        F.max(F.when(is_frag, F.col("n_files"))).alias("n_files_fragmented"),
-        (
-            F.max(F.when(~is_frag, F.col("n_files")))
-            < F.max(F.when(is_frag, F.col("n_files")))
-        ).alias("files_reduced"),
-    )
+    return _audit(frag, "fragmented").unionByName(_audit(comp, "compacted"))

@@ -193,9 +193,19 @@ def test_temperature_mixing_upweights_small_sources(spark):
 # Compaction
 # --------------------------------------------------------------------------
 def test_compaction_reduces_files_preserves_rows(spark):
+    from rws_data_ingester_spark.operators.layout import compaction_phase_audit
+
+    # fixture-scale detail: exactly 64 fragment files, strictly reduced
+    phases = {
+        r["phase"]: r for r in compaction_phase_audit(spark, SF_DIR).collect()
+    }
+    assert phases["fragmented"]["n_files"] == 64
+    assert phases["compacted"]["n_files"] < phases["fragmented"]["n_files"]
+    assert phases["compacted"]["n_rows"] == phases["fragmented"]["n_rows"]
+
+    # registered oracle-stable form
     [row] = REGISTRY["sink_compaction"].fn(spark, SF_DIR).collect()
-    assert row["files_reduced"]
-    assert row["n_files_fragmented"] == 64
+    assert row["compaction_not_worse"]
     assert row["n_rows_compacted"] == row["n_rows_fragmented"]
     n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert row["n_rows_fragmented"] == n_events

@@ -87,6 +87,21 @@ def pack_sequences(
     return sized.mapInPandas(pack, schema=PACK_SCHEMA)
 
 
+def _sized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens) for the documents table — whitespace token
+    counts, shared by the detail and audit forms below. NULL text packs
+    as a 0-token member (coalesce): the kernel's int(ntok) dies on the
+    NaN a NULL becomes in pandas, and dropping the row would break the
+    every-doc-packed-exactly-once invariant."""
+    d = Catalog(spark, sf_dir).documents
+    return d.select(
+        "doc_id",
+        F.coalesce(F.size(F.split("text", " ")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
 def pack_documents_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sequence detail of packing the documents table into 256-token
     training sequences (whitespace token counts) — the full operator
@@ -96,17 +111,7 @@ def pack_documents_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     points, so this detail frame is not SQL-oracle-expressible; the
     registered query below reduces it to partition-layout-INDEPENDENT
     conservation invariants that DuckDB can recompute exactly."""
-    d = Catalog(spark, sf_dir).documents
-    # NULL text packs as a 0-token member (coalesce): the kernel's
-    # int(ntok) dies on the NaN a NULL becomes in pandas, and dropping
-    # the row would break the every-doc-packed-exactly-once invariant.
-    sized = d.select(
-        "doc_id",
-        F.coalesce(F.size(F.split("text", " ")), F.lit(0))
-        .cast("long")
-        .alias("n_tokens"),
-    )
-    out = pack_sequences(sized, budget=256)
+    out = pack_sequences(_sized_documents(spark, sf_dir), budget=256)
     # hash-comparable rendering: array column → csv string
     return out.select(
         "seq_id",
@@ -150,17 +155,18 @@ def pack_documents_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conservation audit of the 256-token sequence pack, computed from
-    the packed output in ONE pass: posexplode the member lists, count
-    members (= sum of n_docs), count distinct members (exactly-once),
-    and take each sequence's totals at pos 0 only (every sequence has
-    >=1 member by construction). Oracle-paired — see the SQL above for
-    why these five numbers are partition-layout-independent while the
-    per-sequence detail (``pack_documents_detail``) is not."""
-    packed = pack_documents_detail(spark, sf_dir)
+    the packed output in ONE pass: posexplode the raw member-id arrays
+    (long members — no csv round-trip), count members (= sum of n_docs),
+    count distinct members (exactly-once), and take each sequence's
+    totals at pos 0 only (every sequence has >=1 member by
+    construction). Oracle-paired — see the SQL above for why these five
+    numbers are partition-layout-independent while the per-sequence
+    detail (``pack_documents_detail``) is not."""
+    packed = pack_sequences(_sized_documents(spark, sf_dir), budget=256)
     ex = packed.select(
         "total_tokens",
         "truncated",
-        F.posexplode(F.split("doc_ids_csv", ",")).alias("pos", "member"),
+        F.posexplode("doc_ids").alias("pos", "member"),
     )
     first = F.col("pos") == 0
     return ex.agg(

@@ -76,6 +76,15 @@ def connected_components(
     rounds (never observed on shallow dedup graphs; see module docstring
     for the O(log n) alternative).
 
+    Edges with a NULL endpoint are DROPPED up front (an edge to nothing
+    is not an edge): filtering before the strategy gate makes the two
+    paths below agree on dirty input — previously a NULL-endpoint edge
+    crashed the driver union-find's compare while the distributed path
+    half-kept it (F.min skips nulls, joins drop them), so the result
+    depended on the size threshold. A node that only appeared in null
+    edges comes back as its own component iff it is in ``vertices``,
+    same as any isolated node.
+
     Adaptive strategy, the broadcast-join-threshold analog: the edge
     list is checkpointed once (a single execution of the corpus-wide
     MinHash→LSH lineage) and counted; at or under ``driver_max_edges``
@@ -89,9 +98,9 @@ def connected_components(
     emit billions of candidate edges — the distributed min-label
     propagation below runs unchanged. Both paths produce the identical
     min-id labeling (equivalence pinned in tests/test_cluster_mixing.py
-    on random graphs and the corpus LSH edges)."""
+    on random graphs, the corpus LSH edges, and null-endpoint edges)."""
     half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    half = half.localCheckpoint(eager=True)
+    half = half.na.drop().localCheckpoint(eager=True)
     if half.count() <= driver_max_edges:
         return _with_isolated(_driver_components(half), vertices)
 
@@ -166,13 +175,11 @@ def _driver_components(half: DataFrame) -> DataFrame:
     list → the same ``(id, component)`` labeling as the distributed
     propagation.
 
-    Dirty-input parity with the distributed path (round-5 ADVICE): edges
-    with a NULL endpoint are dropped before collecting — the propagation
-    path tolerates them implicitly (``F.min`` skips nulls, joins drop
-    them), while a null reaching ``union_find_labels`` would raise on the
-    ``rb < ra`` compare. Mixed src/dst id types are rejected up front:
-    the output schema is typed from one side, so a component value drawn
-    from the other side could fail createDataFrame verification where the
+    NULL-endpoint edges were already dropped by ``connected_components``
+    before the strategy gate (shared contract with the distributed
+    path). Mixed src/dst id types are rejected up front: the output
+    schema is typed from one side, so a component value drawn from the
+    other side could fail createDataFrame verification where the
     distributed union path would silently coerce."""
     from pyspark.sql import types as T
 
@@ -184,9 +191,7 @@ def _driver_components(half: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", src_type), T.StructField("component", src_type)]
     )
-    labels = union_find_labels(
-        (row[0], row[1]) for row in half.na.drop().collect()
-    )
+    labels = union_find_labels((row[0], row[1]) for row in half.collect())
     return half.sparkSession.createDataFrame(list(labels.items()), schema)
 
 

@@ -309,11 +309,12 @@ ROUND6_WINDOW = (
 assert len(ROUND6_WINDOW) == 50, len(ROUND6_WINDOW)
 
 # Staged for round 7 (flip once CORRECTNESS_r06 lands): the freshness
-# rotation continues oldest-first — the 44 remaining round-3-vintage
-# queries (round-3 ledger minus the 6 promoted into ROUND6_WINDOW) plus
-# the 6 alphabetically-first round-4-vintage heads. Recomputed from
-# ∪CORRECTNESS_r0*.json per the from-round-6-on policy in COVERAGE.md;
-# well-formedness pinned by
+# rotation continues oldest-first — the 44 round-3-vintage queries not
+# already re-proved in ROUND6_WINDOW, the 4 round-3 heads that
+# ROUND6_WINDOW's first-proof slots displaced, and the 2
+# alphabetically-first round-4-vintage heads (44 + 4 + 2 = 50).
+# Recomputed from ∪CORRECTNESS_r*.json per the from-round-6-on policy
+# in COVERAGE.md; well-formedness pinned by
 # tests/test_oracle_parity.py::test_round7_staged_window_is_well_formed.
 ROUND7_WINDOW = (
     # round-3 vintage remainder (44)

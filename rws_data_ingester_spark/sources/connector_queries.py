@@ -239,11 +239,12 @@ def source_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back-fill count is the old-generation count, the scored count the
     # new-generation count, and mergeSchema must lose no rows even on
     # null/negative-id fuzz warehouses. n_generations counts NON-EMPTY
-    # generations (an empty generation writes no data files, so its
-    # partition value never appears in the merged read — and on a fully
-    # empty table both sides read 0). The only file-layout-dependent
-    # quantity (which FILES hold which generation) never reaches the
-    # output.
+    # generations: countDistinct(gen) counts ROW values, and an empty
+    # generation contributes zero rows — it still writes one
+    # schema-bearing empty parquet file (probed), which is what keeps
+    # quality_score resolvable in the merged schema when the new
+    # generation is empty. The only file-layout-dependent quantity
+    # (which FILES hold which generation) never reaches the output.
     oracle="""
         SELECT count(*) AS n_rows,
                count(*) FILTER (WHERE coalesce(event_id % 2, 0) = 0)

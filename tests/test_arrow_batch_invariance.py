@@ -98,6 +98,25 @@ def test_result_invariant_under_arrow_batch_size(spark, name):
         )
 
 
+def test_pack_detail_frame_invariant_under_arrow_batch_size(spark):
+    """The registered pipeline_pack_sequences is a 5-number conservation
+    audit since round 6 — conserved quantities would survive a kernel
+    that packs per BATCH instead of per PARTITION, so the audit alone
+    cannot catch the exact failure mode this suite exists for. Pin the
+    per-sequence DETAIL frame (sequence ids + member lists + boundaries)
+    at batch=1 vs default directly."""
+    from rws_data_ingester_spark.operators.packing import pack_documents_detail
+
+    base = _canon(pack_documents_detail(spark, SF_DIR))
+    saved = spark.conf.get(_BATCH_CONF)
+    try:
+        spark.conf.set(_BATCH_CONF, "1")
+        got = _canon(pack_documents_detail(spark, SF_DIR))
+    finally:
+        spark.conf.set(_BATCH_CONF, saved)
+    assert got == base, "pack detail depends on Arrow batch size"
+
+
 def test_pandas_query_pin_is_complete(spark):
     """Sweep every registered plan for Python-eval nodes; the hit set must
     equal PANDAS_QUERIES exactly (no silent new pandas path, no stale pin)."""

@@ -337,6 +337,26 @@ def test_cc_driver_path_equals_distributed_path(spark):
         assert fast == dist
 
 
+def test_cc_null_endpoint_edges_dropped_identically_on_both_paths(spark):
+    """NULL-endpoint edges are dropped up front (round-6 fix: previously
+    the driver union-find crashed on the null compare while the
+    distributed propagation half-kept the edge, so the labeling depended
+    on the size gate). Both paths must agree: the null edges contribute
+    nothing, and a node seen only in null edges is isolated."""
+    rows = [(1, 2), (2, None), (None, 3), (None, None), (4, 5)]
+    edf = spark.createDataFrame(rows, "id_a long, id_b long")
+    verts = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 9)], "id long")
+    expected = {1: 1, 2: 1, 3: 3, 4: 4, 5: 4, 9: 9}
+    for gate in (200_000, -1):
+        comp = {
+            r["id"]: r["component"]
+            for r in connected_components(
+                edf, vertices=verts, driver_max_edges=gate
+            ).collect()
+        }
+        assert comp == expected, (gate, comp)
+
+
 def test_cc_empty_edges_both_paths(spark):
     """Zero candidate pairs: every vertex is its own component, on both
     the driver and the distributed path."""

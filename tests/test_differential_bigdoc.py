@@ -121,7 +121,10 @@ def test_documents_only_oracle_pair_on_big_docs(spark, bigdoc_dir, name):
 DOCS_ROWS_ONLY = [
     "dedup_jaccard_pairs", "dedup_minhash_candidates", "dedup_simhash",
     "text_fingerprint", "text_span_corruption", "bpe_vocab_train",
-    "dedup_clusters", "pipeline_near_dedup_remove", "pipeline_pack_sequences",
+    "dedup_clusters", "pipeline_near_dedup_remove",
+    # oracle-paired since round 6, kept here so its mapInPandas kernel
+    # still gets the big-doc survival+determinism run
+    "pipeline_pack_sequences",
     "pipeline_quality_classifier", "pipeline_training_data",
     "multimodal_features", "multimodal_resize", "dedup_incremental_index",
     "sample_weighted_reservoir",

@@ -204,16 +204,20 @@ def test_driver_evidence_ledger_covers_every_registered_query():
 
 
 def _latest_driver_round(repo, through_round: int | None = None) -> dict[str, int]:
-    """Each query's latest CLEAN driver round from ∪CORRECTNESS_r0*.json
+    """Each query's latest CLEAN driver round from ∪CORRECTNESS_r*.json
     (oracle-paired green, or rows-only that executed with a real row
     count). ``through_round`` caps the files considered — staged-window
     pins use the evidence that existed AT STAGING TIME, so a later
-    round's artifact can't retroactively fail a historical pin."""
+    round's artifact can't retroactively fail a historical pin. The glob
+    and the round parse must both survive round 10+ (a 'r0*' glob would
+    freeze the freshness gate exactly when the build reaches two-digit
+    rounds)."""
     import json
+    import re
 
     latest: dict[str, int] = {}
-    for path in sorted(repo.glob("CORRECTNESS_r0*.json")):
-        rnd = int(path.stem[-2:])
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)$", path.stem).group(1))
         if through_round is not None and rnd > through_round:
             continue
         for n, v in json.loads(path.read_text()).items():

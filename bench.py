@@ -19,11 +19,13 @@ Measurement protocol (BASELINE.md band story, self-evidencing):
   the JVM enough to move a control probe taken beforehand by ~30%.
 - SETTLE phase (after the warm-up pass): the fixed 3-query control probe
   (q1, inner join, running window — plans untouched since round 1) is
-  re-run (bounded, ≤5 probes) until two consecutive probes agree within
-  10%, so the timed run starts on a box at steady state rather than
-  mid-drift (r5 started at −43.7%).
-- The settled probe runs once FIRST and once LAST; per-query drift and the
-  mean are emitted under "controls". A contended box inflates the probe
+  re-run (bounded, ≤5 probes, each a MEDIAN-OF-3 so single-run ±20%
+  noise can't fake or block convergence) until two consecutive probe
+  totals agree within 10%, so the timed run starts on a box at steady
+  state rather than mid-drift (r5 started at −43.7%). "settled": false
+  in the output flags an exhausted probe budget.
+- The last settled probe is the FIRST drift endpoint; the probe re-runs
+  once LAST; per-query drift and the mean are emitted under "controls". A contended box inflates the probe
   uniformly (band); a plan regression moves specific headline queries
   while the probe stays flat.
 - Median of n runs per query; the two widest-spread queries
@@ -118,16 +120,24 @@ def main() -> None:
         ps = [probe() for _ in range(3)]
         return {n: sorted(p[n] for p in ps)[1] for n in CONTROLS}
 
-    # SETTLE: probe until two consecutive probe-set totals agree within
-    # SETTLE_TOLERANCE (bounded), then take the median-of-3 first reading.
-    settle_history: list[dict[str, float]] = [probe()]
+    # SETTLE: probe until two consecutive probe totals agree within
+    # SETTLE_TOLERANCE (bounded). Each settle probe is a MEDIAN-OF-3
+    # (round-6 ADVICE): single control runs carry the documented ±20%
+    # noise, so two single probes could agree by coincidence mid-drift —
+    # or never agree on a steady box and silently exhaust the budget.
+    # Convergence of medians is the signal the drift endpoints actually
+    # use, so the last settled probe doubles as ctrl_first (no extra
+    # probe). `settled` is emitted so an exhausted budget is visible.
+    settle_history: list[dict[str, float]] = [probe_median3()]
+    settled = False
     while len(settle_history) < SETTLE_MAX_PROBES:
-        nxt = probe()
+        nxt = probe_median3()
         prev_total = sum(settle_history[-1].values())
         settle_history.append(nxt)
         if prev_total > 0 and abs(sum(nxt.values()) - prev_total) / prev_total <= SETTLE_TOLERANCE:
+            settled = True
             break
-    ctrl_first = probe_median3()
+    ctrl_first = settle_history[-1]
 
     # Median of n runs per query (BASELINE.md protocol): single runs show
     # ±0.3 s noise on this box, which swamps small plan-level regressions.
@@ -186,6 +196,7 @@ def main() -> None:
                     "drift_pct": drift_pct,
                     "mean_drift_pct": mean_drift,
                     "settle_probes": len(settle_history),
+                    "settled": settled,
                 },
                 "samples_file": samples_path.name,
             }

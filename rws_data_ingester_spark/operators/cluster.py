@@ -100,6 +100,7 @@ def connected_components(
     min-id labeling (equivalence pinned in tests/test_cluster_mixing.py
     on random graphs, the corpus LSH edges, and null-endpoint edges)."""
     half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    _require_matching_endpoint_types(half)
     half = half.na.drop().localCheckpoint(eager=True)
     if half.count() <= driver_max_edges:
         return _with_isolated(_driver_components(half), vertices)
@@ -170,24 +171,35 @@ def union_find_labels(pairs) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def _require_matching_endpoint_types(half: DataFrame) -> None:
+    """Reject mixed src/dst endpoint types BEFORE any size-gated
+    strategy pick (round-6 ADVICE): the driver union-find's output
+    schema is typed from one side, so a component value drawn from the
+    other side could fail createDataFrame verification where the
+    distributed union path would silently coerce — the same
+    gate-dependent-divergence class as the null-edge fix. A real
+    ``TypeError`` (not ``assert``, which ``python -O`` strips) and a
+    shared call site in ``connected_components`` /
+    ``connected_components_star`` make both paths reject identically."""
+    src_type = half.schema[half.columns[0]].dataType
+    dst_type = half.schema[half.columns[1]].dataType
+    if src_type != dst_type:
+        raise TypeError(
+            f"edge endpoint types must match: id_a={src_type}, id_b={dst_type}"
+        )
+
+
 def _driver_components(half: DataFrame) -> DataFrame:
     """Union-find over a collected (checkpointed, small-by-gate) edge
     list → the same ``(id, component)`` labeling as the distributed
     propagation.
 
-    NULL-endpoint edges were already dropped by ``connected_components``
-    before the strategy gate (shared contract with the distributed
-    path). Mixed src/dst id types are rejected up front: the output
-    schema is typed from one side, so a component value drawn from the
-    other side could fail createDataFrame verification where the
-    distributed union path would silently coerce."""
+    NULL-endpoint edges were already dropped — and mixed endpoint types
+    rejected — by ``connected_components`` before the strategy gate
+    (shared contract with the distributed path)."""
     from pyspark.sql import types as T
 
     src_type = half.schema["src"].dataType
-    dst_type = half.schema["dst"].dataType
-    assert src_type == dst_type, (
-        f"edge endpoint types must match: id_a={src_type}, id_b={dst_type}"
-    )
     schema = T.StructType(
         [T.StructField("id", src_type), T.StructField("component", src_type)]
     )
@@ -314,6 +326,7 @@ def connected_components_star(
     large-star(u): every neighbor v > u re-attaches to m = min(Γ⁺(u));
     small-star(u): every neighbor v < u attaches to m, plus (u, m).
     The fixpoint is the star from every node to its component minimum."""
+    _require_matching_endpoint_types(edges.select("id_a", "id_b"))
     cur = (
         edges.select(*_canon(F.col("id_a"), F.col("id_b")))
         .filter(F.col("id_a") != F.col("id_b"))

@@ -374,14 +374,78 @@ ROUND7_WINDOW = (
 )
 assert len(ROUND7_WINDOW) == 50, len(ROUND7_WINDOW)
 
-# The window the driver's 50-slot gate sees THIS round. Round 6 flips to
-# the staged ROUND6_WINDOW (CORRECTNESS_r05: 50/50 clean — 194/194
-# coverage reached): with every query driver-evidenced, the rotation's
-# job is now evidence FRESHNESS — re-prove the 44 round-2-vintage greens
-# (whose last driver row predates the round-3-5 growth and the pround
-# migration) + the 6 oldest round-3 heads on current code. COVERAGE.md
-# keeps the vintage ledger.
-_ACTIVE_WINDOW = ROUND6_WINDOW
+# Staged for round 8 (flip once CORRECTNESS_r07 lands): with round 7
+# re-proving the round-3 vintage, the oldest evidence remaining is the
+# 48 round-4-vintage queries (the r4 first-proof tier: the 22 TPC-H
+# composites, the join matrix, the connector round-trips) plus the 2
+# alphabetically-first round-5-vintage heads (48 + 2 = 50). Recomputed
+# from ∪CORRECTNESS_r*.json through r06 per the COVERAGE.md policy;
+# well-formedness pinned by
+# tests/test_oracle_parity.py::test_round8_staged_window_is_well_formed.
+ROUND8_WINDOW = (
+    # round-4 vintage (48)
+    "agg_corr_covar",
+    "agg_grouping_id",
+    "agg_rollup",
+    "agg_share_of_total",
+    "filter_predicates",
+    "join_broadcast_star",
+    "join_full_outer",
+    "join_inner_customer_orders",
+    "join_interval_bucketed",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_range_bands",
+    "join_right_outer",
+    "join_theta_self",
+    "pipeline_incremental_merge",
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_trade_flow",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_by_status",
+    "q13_customer_order_histogram",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_bracketed_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "scalar_variant_funcs",
+    "sink_partitioned_pruning",
+    "sink_train_shards",
+    "sort_multi_key_top100",
+    "source_binaryfile_scan",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "source_text_roundtrip",
+    "topk_lineitems",
+    # round-5 vintage heads (2)
+    "agg_approx_distinct_bounds",
+    "agg_approx_percentile_bounds",
+)
+assert len(ROUND8_WINDOW) == 50, len(ROUND8_WINDOW)
+
+# The window the driver's 50-slot gate sees THIS round. Round 7 flips to
+# the staged ROUND7_WINDOW (CORRECTNESS_r06: 50/50 clean): the freshness
+# rotation continues oldest-first — the 44 round-3-vintage queries, the
+# 4 round-3 heads displaced from ROUND6_WINDOW, and the 2 oldest
+# round-4 heads. After this lands, no evidence anywhere is older than
+# round 4 (within the 4-round gate). COVERAGE.md keeps the vintage
+# ledger.
+_ACTIVE_WINDOW = ROUND7_WINDOW
 
 _missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
 assert not _missing, f"active window names not registered: {_missing}"

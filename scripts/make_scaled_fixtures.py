@@ -1,0 +1,162 @@
+"""Build PERF-ONLY scaled clones of a fixture warehouse (sf0.1 → ~sf0.3,
+~sf1.0) for multi-scale-factor scaling curves (VERDICT r6, task 2).
+
+The 100×-scale argument was previously plan-shape-only (SCALE.md); these
+clones give it measured scaling exponents. Usage:
+
+    python scripts/make_scaled_fixtures.py [SRC_SF_DIR] [OUT_ROOT]
+
+writes ``{OUT_ROOT}/sf{K*src_sf}/{table}.parquet`` for K in (3, 10)
+(override with SPARK_GRAFT_SCALE_KS="3,10"). Defaults: src
+/root/testdata/sf0.1, out /tmp/spark_graft_scaled. /root/testdata is
+read-only and never touched.
+
+Scaling model — K id-offset clones of the source warehouse, foreign keys
+kept consistent so every join hits exactly as it does at 1×:
+
+- ``region``/``nation`` stay single-copy (fixed dims, as in TPC-H: dims
+  that a 100 TB fact still broadcasts do not grow with SF).
+- Every entity id column (``*_custkey  *_orderkey  *_partkey  *_suppkey
+  event_id  user_id  doc_id  vec_id``) gets ``+ clone*OFFSET`` with one
+  global OFFSET (1e9 > any source key), so id-equality joins across any
+  table pair still match within a clone and never across clones.
+- ``documents.text`` is letter-rotated per clone (``translate`` rot-i on
+  a-z/A-Z — pure codegen). This preserves every per-row cost driver
+  (lengths, token counts, whitespace/punctuation structure, n_chars) and
+  the WITHIN-clone near-dup structure exactly (two rot-i'd near-dups
+  share exactly the shingles their originals shared), while making
+  cross-clone shingle sets disjoint. Without it, K identical text clones
+  turn every MinHash band bucket into a ≥K-member bucket and the
+  candidate-edge count explodes combinatorially — a data-duplication
+  artifact that would drown the engine's own scaling in the curve. With
+  it, the LSH candidate set scales exactly K×.
+- ``embeddings.embedding`` is circularly shifted per clone (a coordinate
+  permutation = orthogonal transform): all WITHIN-clone inner products /
+  cosines are bit-identical to the source geometry, so per-clone ANN and
+  semantic-dedup workload shape is exactly the 1× workload, K times —
+  while cross-clone vectors decorrelate instead of forming K-deep ties
+  (identical clones would land in one quantizer cell and make cell-local
+  pairwise work quadratic in K, again a duplication artifact).
+- ``events.ts`` / ``orders.o_orderdate`` are kept as-is: K× events in
+  the same time range models more users over the same period, so date
+  predicates keep their selectivity and per-user sessionization work is
+  unchanged per clone.
+
+Outputs are written as multi-file parquet directories (``repartition``
+scaled with K) so scan parallelism grows with data like a real warehouse,
+and are NEVER used for correctness — oracle runs stay on the driver's
+read-only fixtures.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from rws_data_ingester_spark.catalog import TABLES, load_table  # noqa: E402
+from rws_data_ingester_spark.session import get_spark  # noqa: E402
+
+# One global id offset per clone: larger than any source key (sf0.1 max
+# key ≈ 6e5), 10 clones stay < 1e10, comfortably int64.
+OFFSET = 1_000_000_000
+
+# Tables cloned with id offsets; dims stay single-copy.
+FIXED_DIMS = ("region", "nation")
+ID_COLUMNS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_UPPER = _LOWER.upper()
+
+
+def _rot_text(col: F.Column, i: int) -> F.Column:
+    """Per-clone letter rotation (rot-i over a-z and A-Z) — one codegen
+    ``translate``, no UDF. Clone 0 is the identity."""
+    r = i % 26
+    if r == 0:
+        return col
+    rotated = _LOWER[r:] + _LOWER[:r] + _UPPER[r:] + _UPPER[:r]
+    return F.translate(col, _LOWER + _UPPER, rotated)
+
+
+def _shift_embedding(col: F.Column, i: int, dim: int) -> F.Column:
+    """Per-clone circular coordinate shift — an orthogonal transform, so
+    every within-clone inner product is preserved exactly."""
+    s = (i * 7) % dim
+    if s == 0:
+        return col
+    return F.concat(F.slice(col, s + 1, dim - s), F.slice(col, 1, s))
+
+
+def clone_table(df: DataFrame, name: str, k: int, emb_dim: int | None) -> DataFrame:
+    """Union of k id-offset clones of one source table."""
+    parts = []
+    for i in range(k):
+        cur = df
+        for c in ID_COLUMNS.get(name, ()):
+            cur = cur.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+        if name == "documents":
+            cur = cur.withColumn("text", _rot_text(F.col("text"), i))
+        if name == "embeddings" and emb_dim:
+            cur = cur.withColumn(
+                "embedding", _shift_embedding(F.col("embedding"), i, emb_dim)
+            )
+        parts.append(cur)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_scaled_dir(spark, src_dir: str, out_dir: str, k: int) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    emb_dim = len(
+        load_table(spark, src_dir, "embeddings").select("embedding").first()[0]
+    )
+    for name in TABLES:
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        src = load_table(spark, src_dir, name)
+        if name in FIXED_DIMS:
+            src.coalesce(1).write.mode("overwrite").parquet(dest)
+            continue
+        scaled = clone_table(src, name, k, emb_dim)
+        # file count grows with k so scan parallelism scales like a real
+        # warehouse (lineitem at k=10: 6M rows across 2*10 files)
+        n_files = max(2, 2 * k) if name in ("lineitem", "orders", "events") else max(1, k // 2)
+        scaled.repartition(n_files).write.mode("overwrite").parquet(dest)
+        print(f"  {name}: x{k} -> {dest}", flush=True)
+
+
+def main() -> None:
+    src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scaled"
+    ks = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_KS", "3,10").split(",")]
+    import re
+
+    m = re.search(r"sf([0-9.]+)", src_dir)
+    src_sf = float(m.group(1)) if m else 1.0
+    spark = get_spark(app_name="make_scaled_fixtures")
+    for k in ks:
+        sf = src_sf * k
+        out_dir = os.path.join(out_root, f"sf{sf:g}")
+        print(f"building {out_dir} (k={k}) from {src_dir}", flush=True)
+        build_scaled_dir(spark, src_dir, out_dir, k)
+    print("DONE", flush=True)
+
+
+if __name__ == "__main__":
+    main()

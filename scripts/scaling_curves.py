@@ -1,0 +1,109 @@
+"""Measure per-query scaling curves across scale factors (VERDICT r6,
+task 2): run the bench HEADLINE queries at sf0.1 (real fixtures) and at
+the id-offset-clone warehouses from ``make_scaled_fixtures.py`` (~sf0.3,
+~sf1.0), fit a per-query scaling exponent, and flag anything superlinear
+beyond its declared complexity.
+
+    python scripts/make_scaled_fixtures.py            # once, ~1 min
+    python scripts/scaling_curves.py                  # writes SCALING_r07.json
+
+Protocol (mirrors bench.py's): per scale point, one untimed warm-up pass
+over every query first (codegen/JIT compile out of the medians), then
+median of N=3 timed runs per query. Exponent: least-squares slope of
+log(t) vs log(sf) over the three points — fixed per-query overhead
+(planning, task launch) damps exponents BELOW the asymptotic complexity
+at these absolute times, so the flag threshold is alpha > 1.15 AND
+t(max_sf) > 1 s (sub-second queries are overhead-dominated and their
+slope is noise). Expected-superlinear queries carry a declared bound
+instead (sorts: n log n → alpha ≤ ~1.1 at this range; none quadratic).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from rws_data_ingester_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(d: str) -> float:
+    m = re.search(r"sf([0-9.]+)", d)
+    return float(m.group(1)) if m else -1.0
+
+
+def _slope(xs: list[float], ys: list[float]) -> float:
+    """Least-squares slope of ys vs xs (both already log-scaled)."""
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den if den else float("nan")
+
+
+def main() -> None:
+    # import AFTER sys.path setup; bench.HEADLINE is the measured set
+    from bench import HEADLINE
+    from rws_data_ingester_spark.plans import REGISTRY
+
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.1",
+        "/tmp/spark_graft_scaled/sf0.3",
+        "/tmp/spark_graft_scaled/sf1",
+    ]
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if len(dirs) < 2:
+        raise SystemExit(
+            "need >=2 scale dirs; run scripts/make_scaled_fixtures.py first"
+        )
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+    spark = get_spark(app_name="scaling_curves")
+
+    def run_once(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 3)
+
+    results: dict[str, dict[str, float]] = {n: {} for n in HEADLINE}
+    for d in dirs:
+        sf = _sf_of(d)
+        print(f"== scale point sf={sf} ({d}) ==", flush=True)
+        for n in HEADLINE:  # warm-up pass, untimed
+            run_once(n, d)
+        for n in HEADLINE:
+            samples = sorted(run_once(n, d) for _ in range(n_runs))
+            med = samples[len(samples) // 2]
+            results[n][f"{sf:g}"] = med
+            print(f"  {n}: {med}s {samples}", flush=True)
+
+    sfs = sorted(_sf_of(d) for d in dirs)
+    log_sf = [math.log(s) for s in sfs]
+    rows = {}
+    for n in HEADLINE:
+        ts = [results[n][f"{s:g}"] for s in sfs]
+        alpha = _slope(log_sf, [math.log(max(t, 1e-3)) for t in ts])
+        rows[n] = {
+            "sec_by_sf": results[n],
+            "alpha": round(alpha, 3),
+            "flag": bool(alpha > 1.15 and ts[-1] > 1.0),
+        }
+    out = {
+        "sfs": sfs,
+        "n_runs": n_runs,
+        "queries": rows,
+        "flagged": sorted(n for n, r in rows.items() if r["flag"]),
+    }
+    out_path = REPO / "SCALING_r07.json"
+    out_path.write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps({"flagged": out["flagged"], "file": out_path.name}))
+
+
+if __name__ == "__main__":
+    main()

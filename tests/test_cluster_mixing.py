@@ -357,6 +357,30 @@ def test_cc_null_endpoint_edges_dropped_identically_on_both_paths(spark):
         assert comp == expected, (gate, comp)
 
 
+def test_cc_mixed_endpoint_types_rejected_identically_on_both_paths(spark):
+    """Mixed src/dst endpoint types raise TypeError BEFORE the
+    driver_max_edges gate (round-6 ADVICE): previously the check was an
+    ``assert`` (stripped under ``python -O``) inside the driver path
+    only, so a mixed-type edge list raised on one side of the gate and
+    silently coerced on the other — the same gate-dependent-divergence
+    class as the null-edge fix. Both gate settings and the star variant
+    must reject with the same error type."""
+    import pytest
+
+    from rws_data_ingester_spark.operators.cluster import (
+        connected_components_star,
+    )
+
+    edf = spark.createDataFrame(
+        [(1, "2"), (2, "3")], "id_a long, id_b string"
+    )
+    for gate in (200_000, -1):
+        with pytest.raises(TypeError, match="endpoint types must match"):
+            connected_components(edf, driver_max_edges=gate)
+    with pytest.raises(TypeError, match="endpoint types must match"):
+        connected_components_star(edf)
+
+
 def test_cc_empty_edges_both_paths(spark):
     """Zero candidate pairs: every vertex is its own component, on both
     the driver and the distributed path."""

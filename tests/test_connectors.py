@@ -61,7 +61,13 @@ def test_schema_evolution_backfills_old_generation(spark):
     from pyspark.sql import functions as F
 
     ev = Catalog(spark, SF_DIR).events
-    n_old = ev.filter(F.col("event_id") % 2 == 0).count()
+    # Mirror the query's generation split exactly (round-6 ADVICE): the
+    # query coalesces so NULL event_ids land in the old generation, and
+    # Spark's % keeps the dividend's sign so negative-odd ids yield -1,
+    # not 1 — a bare `% 2 == 0` expectation diverges on fuzz warehouses.
+    n_old = ev.filter(
+        F.coalesce(F.col("event_id") % 2, F.lit(0)) == 0
+    ).count()
     n_total = ev.count()
     row = REGISTRY["source_schema_evolution"].fn(spark, SF_DIR).collect()[0]
     assert row["n_rows"] == n_total

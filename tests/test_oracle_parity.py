@@ -217,7 +217,17 @@ def _latest_driver_round(repo, through_round: int | None = None) -> dict[str, in
 
     latest: dict[str, int] = {}
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"_r(\d+)$", path.stem).group(1))
+        m = re.search(r"_r(\d+)$", path.stem)
+        if m is None:
+            # e.g. a stray CORRECTNESS_r06_backup.json matches the glob
+            # but not the round parse — name the offender instead of
+            # crashing every window test with a bare AttributeError
+            # (round-6 ADVICE).
+            raise AssertionError(
+                f"file matches CORRECTNESS_r*.json but not the round "
+                f"pattern _r<digits>: {path.name}"
+            )
+        rnd = int(m.group(1))
         if through_round is not None and rnd > through_round:
             continue
         for n, v in json.loads(path.read_text()).items():
@@ -288,6 +298,30 @@ def test_round7_staged_window_is_well_formed():
     assert not stale, f"round-7 slots wasted on fresh evidence: {stale}"
     never = [n for n in ROUND7_WINDOW if latest.get(n, 0) == 0]
     assert not never, f"round-7 slots on never-evidenced queries (use a dark-tier window): {never}"
+
+
+def test_round8_staged_window_is_well_formed():
+    """ROUND8_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
+    after CORRECTNESS_r07): 50 registered names, no overlap with the
+    round-7 window, and every slot continues the freshness rotation —
+    at staging time (evidence through r06) each slot's latest driver row
+    is round-4/5 vintage, i.e. the oldest evidence remaining once the
+    round-7 window re-proves the round-3 tier."""
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND7_WINDOW, ROUND8_WINDOW
+
+    assert len(ROUND8_WINDOW) == 50
+    missing = [n for n in ROUND8_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert not set(ROUND8_WINDOW) & set(ROUND7_WINDOW)
+
+    repo = Path(__file__).resolve().parents[1]
+    latest = _latest_driver_round(repo, through_round=6)
+    stale = [n for n in ROUND8_WINDOW if latest.get(n, 0) > 5]
+    assert not stale, f"round-8 slots wasted on fresh evidence: {stale}"
+    never = [n for n in ROUND8_WINDOW if latest.get(n, 0) == 0]
+    assert not never, f"round-8 slots on never-evidenced queries (use a dark-tier window): {never}"
 
 
 def test_evidence_freshness_rotation_cannot_stall():

@@ -6,10 +6,21 @@ clones give it measured scaling exponents. Usage:
 
     python scripts/make_scaled_fixtures.py [SRC_SF_DIR] [OUT_ROOT]
 
-writes ``{OUT_ROOT}/sf{K*src_sf}/{table}.parquet`` for K in (3, 10)
-(override with SPARK_GRAFT_SCALE_KS="3,10"). Defaults: src
+writes ``{OUT_ROOT}/sf{K*src_sf}/{table}.parquet`` for K in (1, 3, 10)
+(override with SPARK_GRAFT_SCALE_KS="1,3,10"). Defaults: src
 /root/testdata/sf0.1, out /tmp/spark_graft_scaled. /root/testdata is
 read-only and never touched.
+
+K=1 is deliberately part of the set: the 1x scale point must go through
+the SAME writer (same compression, same timestamp normalization, same
+files-per-row density) as the scaled points, or the curve's smallest
+point measures generation artifacts — the driver's sf0.1 fixtures are
+single-file parquet, so a scan there runs on ONE task while a clone
+warehouse scans 8+ tasks, and wall-clock comparisons invert (observed:
+q1 at 10x the data ran 1.8x FASTER than the single-file 1x point).
+Every table gets >=SPARK_GRAFT_SCALE_MIN_FILES files (default 8) so a
+fixed-core measurement session (scaling_curves.py uses local[8]) is
+saturated at every scale point and wall time tracks total work.
 
 Scaling model — K id-offset clones of the source warehouse, foreign keys
 kept consistent so every join hits exactly as it does at 1×:
@@ -134,9 +145,11 @@ def build_scaled_dir(spark, src_dir: str, out_dir: str, k: int) -> None:
             src.coalesce(1).write.mode("overwrite").parquet(dest)
             continue
         scaled = clone_table(src, name, k, emb_dim)
-        # file count grows with k so scan parallelism scales like a real
-        # warehouse (lineitem at k=10: 6M rows across 2*10 files)
-        n_files = max(2, 2 * k) if name in ("lineitem", "orders", "events") else max(1, k // 2)
+        # constant files-per-row density across scale points (file count
+        # grows with k), floored at MIN_FILES so a local[8] measurement
+        # session is fully parallel even at the 1x point
+        min_files = int(os.environ.get("SPARK_GRAFT_SCALE_MIN_FILES", "8"))
+        n_files = max(min_files, 8 * k) if name in ("lineitem", "orders", "events") else max(min_files, k)
         scaled.repartition(n_files).write.mode("overwrite").parquet(dest)
         print(f"  {name}: x{k} -> {dest}", flush=True)
 
@@ -144,7 +157,7 @@ def build_scaled_dir(spark, src_dir: str, out_dir: str, k: int) -> None:
 def main() -> None:
     src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_scaled"
-    ks = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_KS", "3,10").split(",")]
+    ks = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_KS", "1,3,10").split(",")]
     import re
 
     m = re.search(r"sf([0-9.]+)", src_dir)

@@ -61,9 +61,29 @@ def _slope(xs: list[float], ys: list[float]) -> float:
 
 
 def main() -> None:
-    # import AFTER sys.path setup; bench.HEADLINE is the measured set
-    from bench import HEADLINE
+    # import AFTER sys.path setup; bench.HEADLINE is the measured set,
+    # optionally widened to more of the registry (round-7 default: the
+    # scale-sensitive non-headline tier — the full dedup-cluster path,
+    # tf-idf, packing, contiguous ids, salted join, SCD2 intervals,
+    # cohort retention, the global sort, and the q18/q21 self-join
+    # composites). Override with SPARK_GRAFT_SCALE_EXTRA="" to measure
+    # the headline set only, or a comma list to choose.
+    from bench import HEADLINE as BENCH_HEADLINE
     from rws_data_ingester_spark.plans import REGISTRY
+
+    extra_env = os.environ.get(
+        "SPARK_GRAFT_SCALE_EXTRA",
+        "dedup_clusters,dedup_paragraphs,text_tfidf,pipeline_pack_sequences,"
+        "ids_assign_contiguous,embedding_centroids,pipeline_embedding_dedup,"
+        "join_salted_skew,scd2_intervals,cohort_retention,"
+        "sort_multi_key_top100,q18_large_volume_customers,"
+        "q21_waiting_suppliers",
+    )
+    extras = [n for n in extra_env.split(",") if n]
+    unknown = [n for n in extras if n not in REGISTRY]
+    if unknown:
+        raise SystemExit(f"unknown extra queries: {unknown}")
+    HEADLINE = list(BENCH_HEADLINE) + [n for n in extras if n not in BENCH_HEADLINE]
 
     dirs = sys.argv[1:] or [
         "/tmp/spark_graft_scaled/sf0.1",

@@ -93,11 +93,11 @@ def test_text_rotation_preserves_cost_drivers_and_decorrelates_clones(
             "base",
         )
     )
-    letterless_same = pairs.filter(
+    same_despite_letters = pairs.filter(
         (F.col("t0") == F.col("t1"))
         & (F.col("t0").rlike("[A-Za-z]"))
     ).count()
-    assert letterless_same == 0
+    assert same_despite_letters == 0
 
 
 def test_embedding_shift_is_orthogonal(spark, scaled_dir):

@@ -311,8 +311,9 @@ assert len(ROUND6_WINDOW) == 50, len(ROUND6_WINDOW)
 # Staged for round 7 (flip once CORRECTNESS_r06 lands): the freshness
 # rotation continues oldest-first — the 44 round-3-vintage queries not
 # already re-proved in ROUND6_WINDOW, the 4 round-3 heads that
-# ROUND6_WINDOW's first-proof slots displaced, and the 2
-# alphabetically-first round-4-vintage heads (44 + 4 + 2 = 50).
+# ROUND6_WINDOW's first-proof slots displaced, the alphabetically-first
+# round-4-vintage head, and 1 first-proof slot for the query newly
+# oracle-paired in round 7 (44 + 4 + 1 + 1 = 50).
 # Recomputed from ∪CORRECTNESS_r*.json per the from-round-6-on policy
 # in COVERAGE.md; well-formedness pinned by
 # tests/test_oracle_parity.py::test_round7_staged_window_is_well_formed.
@@ -368,17 +369,23 @@ ROUND7_WINDOW = (
     "cohort_retention",
     "data_quality_audit",
     "dedup_paragraphs",
-    # round-4 vintage head (2)
+    # round-4 vintage head (1)
     "agg_basic",
-    "agg_bool",
+    # newly oracle-paired this round (1, VERDICT r6 task 7): the z-order
+    # sink's layout-independent conservation audit moved from rows-only
+    # to DuckDB-paired in round 7, so its ORACLE has never been
+    # driver-checked — a first-proof slot, not a re-proof. The round-4
+    # head it displaces (agg_bool) is staged in ROUND8_WINDOW.
+    "sink_zorder_pruning",
 )
 assert len(ROUND7_WINDOW) == 50, len(ROUND7_WINDOW)
 
 # Staged for round 8 (flip once CORRECTNESS_r07 lands): with round 7
 # re-proving the round-3 vintage, the oldest evidence remaining is the
 # 48 round-4-vintage queries (the r4 first-proof tier: the 22 TPC-H
-# composites, the join matrix, the connector round-trips) plus the 2
-# alphabetically-first round-5-vintage heads (48 + 2 = 50). Recomputed
+# composites, the join matrix, the connector round-trips) plus the
+# round-4 head ROUND7's first-proof slot displaced plus the
+# alphabetically-first round-5-vintage head (48 + 1 + 1 = 50). Recomputed
 # from ∪CORRECTNESS_r*.json through r06 per the COVERAGE.md policy;
 # well-formedness pinned by
 # tests/test_oracle_parity.py::test_round8_staged_window_is_well_formed.
@@ -432,9 +439,12 @@ ROUND8_WINDOW = (
     "source_orc_roundtrip",
     "source_text_roundtrip",
     "topk_lineitems",
-    # round-5 vintage heads (2)
+    # round-4 vintage head displaced from ROUND7_WINDOW by the
+    # sink_zorder_pruning first-proof slot (1)
+    "agg_bool",
+    # round-5 vintage head (1; agg_approx_percentile_bounds rotates to
+    # ROUND9 — r5 evidence is age 4 at round 9, still within the gate)
     "agg_approx_distinct_bounds",
-    "agg_approx_percentile_bounds",
 )
 assert len(ROUND8_WINDOW) == 50, len(ROUND8_WINDOW)
 

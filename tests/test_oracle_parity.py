@@ -277,24 +277,34 @@ def test_round6_staged_window_is_well_formed():
 
 
 def test_round7_staged_window_is_well_formed():
-    """ROUND7_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
-    after CORRECTNESS_r06): 50 registered names, no overlap with the
-    round-6 window, and every slot continues the freshness rotation —
-    at staging time (evidence through r05) each slot's latest driver row
-    is round-3/4 vintage, i.e. the oldest evidence remaining once the
-    round-6 window re-proves the round-2 tier."""
+    """ROUND7_WINDOW (active in round 7, staged after CORRECTNESS_r06):
+    50 registered names, no overlap with the round-6 window, and every
+    slot either continues the freshness rotation — at staging time
+    (evidence through r05) each slot's latest driver row is round-3/4
+    vintage — or first-proves an oracle newly paired in round 7
+    (rows-only → DuckDB-paired, so the ORACLE has never been
+    driver-checked even though the query ran rows-only in r5)."""
     from pathlib import Path
 
     from rws_data_ingester_spark.plans import REGISTRY, ROUND6_WINDOW, ROUND7_WINDOW
+
+    newly_paired_r7 = {"sink_zorder_pruning"}
 
     assert len(ROUND7_WINDOW) == 50
     missing = [n for n in ROUND7_WINDOW if n not in REGISTRY]
     assert not missing, missing
     assert not set(ROUND7_WINDOW) & set(ROUND6_WINDOW)
+    # the newly-paired slot must actually carry an oracle now
+    unpaired = [n for n in newly_paired_r7 if REGISTRY[n].oracle is None]
+    assert not unpaired, f"claimed newly-paired but oracle-less: {unpaired}"
 
     repo = Path(__file__).resolve().parents[1]
     latest = _latest_driver_round(repo, through_round=5)
-    stale = [n for n in ROUND7_WINDOW if latest.get(n, 0) > 4]
+    stale = [
+        n
+        for n in ROUND7_WINDOW
+        if n not in newly_paired_r7 and latest.get(n, 0) > 4
+    ]
     assert not stale, f"round-7 slots wasted on fresh evidence: {stale}"
     never = [n for n in ROUND7_WINDOW if latest.get(n, 0) == 0]
     assert not never, f"round-7 slots on never-evidenced queries (use a dark-tier window): {never}"

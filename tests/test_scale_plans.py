@@ -303,11 +303,15 @@ def test_runtime_bloom_filter_injects_on_unbroadcastable_join(spark):
 
 def test_zorder_layout_prunes_both_dimensions(spark):
     """Linear (date-sorted) layout: skips files on the sort key, zero
-    skipping on partkey. Z-order layout: skips on BOTH dimensions. Also
-    the two layouts must hold identical rows (layout is physical only)."""
+    skipping on partkey. Z-order layout: skips on BOTH dimensions. The
+    skip counts live in the unregistered detail audit (file split points
+    are byte/scale-dependent); the registered query hashes the
+    layout-independent conservation facts against its DuckDB oracle."""
+    from rws_data_ingester_spark.operators.layout import zorder_skip_audit
+
     rows = {
         (r["layout"], r["dim"]): r
-        for r in REGISTRY["sink_zorder_pruning"].fn(spark, SF_DIR).collect()
+        for r in zorder_skip_audit(spark, SF_DIR).collect()
     }
     lin_pk = rows[("linear", "l_partkey")]
     zo_pk = rows[("zorder", "l_partkey")]

@@ -34,6 +34,12 @@ Measurement protocol (BASELINE.md band story, self-evidencing):
   samples still descending at n=3 in r5) sample at n>=5 so their medians
   converge instead of driving the total's band. Per-query run counts are
   disclosed under "runs".
+- DRIFT-BREACH RETRY (round-7, VERDICT r6 task 4): if the emitted pass's
+  |mean control drift| exceeds 10% — contention arrived MID-RUN, which
+  the settle phase cannot see — the whole pass (settle + timed + drift
+  endpoints) re-runs once and the LAST pass is emitted, with
+  "drift_retries" disclosed in the compact line and every discarded
+  pass's evidence kept in bench_samples.json.
 """
 
 from __future__ import annotations
@@ -88,6 +94,16 @@ CONTROLS = ["q1_pricing_summary", "join_inner_customer_orders", "window_running"
 
 SETTLE_MAX_PROBES = 5
 SETTLE_TOLERANCE = 0.10
+# Drift-breach auto-retry (VERDICT r6, task 4): BENCH_r06's finished-tree
+# trio had a middle run whose +17.6% control drift flagged contention
+# arriving MID-RUN — the settle loop can only catch drift that precedes
+# the timed pass. If |mean control drift| ends past this budget, the
+# whole pass (settle + timed runs + drift endpoints) re-runs once, so an
+# emitted BENCH_rN artifact is settled by construction rather than by
+# flanking evidence. One retry is enough: a box contended across BOTH
+# passes is genuinely busy, and that state is disclosed, not hidden.
+DRIFT_BUDGET_PCT = 10.0
+DRIFT_MAX_RETRIES = 1
 
 
 def main() -> None:
@@ -120,25 +136,6 @@ def main() -> None:
         ps = [probe() for _ in range(3)]
         return {n: sorted(p[n] for p in ps)[1] for n in CONTROLS}
 
-    # SETTLE: probe until two consecutive probe totals agree within
-    # SETTLE_TOLERANCE (bounded). Each settle probe is a MEDIAN-OF-3
-    # (round-6 ADVICE): single control runs carry the documented ±20%
-    # noise, so two single probes could agree by coincidence mid-drift —
-    # or never agree on a steady box and silently exhaust the budget.
-    # Convergence of medians is the signal the drift endpoints actually
-    # use, so the last settled probe doubles as ctrl_first (no extra
-    # probe). `settled` is emitted so an exhausted budget is visible.
-    settle_history: list[dict[str, float]] = [probe_median3()]
-    settled = False
-    while len(settle_history) < SETTLE_MAX_PROBES:
-        nxt = probe_median3()
-        prev_total = sum(settle_history[-1].values())
-        settle_history.append(nxt)
-        if prev_total > 0 and abs(sum(nxt.values()) - prev_total) / prev_total <= SETTLE_TOLERANCE:
-            settled = True
-            break
-    ctrl_first = settle_history[-1]
-
     # Median of n runs per query (BASELINE.md protocol): single runs show
     # ±0.3 s noise on this box, which swamps small plan-level regressions.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -146,27 +143,74 @@ def main() -> None:
         "pipeline_training_data": max(n_runs, 5),
         "dedup_minhash_candidates": max(n_runs, 5),
     }
-    timings: dict[str, float] = {}
-    raw: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        samples = [run_once(name) for _ in range(extra_runs.get(name, n_runs))]
-        raw[name] = samples
-        timings[name] = sorted(samples)[len(samples) // 2]
 
-    ctrl_last = probe_median3()
-    # Drift guard (round-5 ADVICE): run_once rounds to 3 decimals, so a
-    # sub-0.5 ms control would record 0.0 — emit null for that control
-    # instead of dividing by zero.
-    drift_pct: dict[str, float | None] = {}
-    for n in CONTROLS:
-        if ctrl_first[n] == 0.0:
-            drift_pct[n] = None
-        else:
-            drift_pct[n] = round(
-                (ctrl_last[n] - ctrl_first[n]) / ctrl_first[n] * 100.0, 1
-            )
-    finite = [d for d in drift_pct.values() if d is not None]
-    mean_drift = round(sum(finite) / len(finite), 1) if finite else None
+    def timed_pass() -> dict:
+        # SETTLE: probe until two consecutive probe totals agree within
+        # SETTLE_TOLERANCE (bounded). Each settle probe is a MEDIAN-OF-3
+        # (round-6 ADVICE): single control runs carry the documented ±20%
+        # noise, so two single probes could agree by coincidence mid-drift
+        # — or never agree on a steady box and silently exhaust the
+        # budget. Convergence of medians is the signal the drift endpoints
+        # actually use, so the last settled probe doubles as ctrl_first
+        # (no extra probe). `settled` is emitted so an exhausted budget
+        # is visible.
+        settle_history: list[dict[str, float]] = [probe_median3()]
+        settled = False
+        while len(settle_history) < SETTLE_MAX_PROBES:
+            nxt = probe_median3()
+            prev_total = sum(settle_history[-1].values())
+            settle_history.append(nxt)
+            if prev_total > 0 and abs(sum(nxt.values()) - prev_total) / prev_total <= SETTLE_TOLERANCE:
+                settled = True
+                break
+        ctrl_first = settle_history[-1]
+
+        timings: dict[str, float] = {}
+        raw: dict[str, list[float]] = {}
+        for name in HEADLINE:
+            samples = [run_once(name) for _ in range(extra_runs.get(name, n_runs))]
+            raw[name] = samples
+            timings[name] = sorted(samples)[len(samples) // 2]
+
+        ctrl_last = probe_median3()
+        # Drift guard (round-5 ADVICE): run_once rounds to 3 decimals, so
+        # a sub-0.5 ms control would record 0.0 — emit null for that
+        # control instead of dividing by zero.
+        drift_pct: dict[str, float | None] = {}
+        for n in CONTROLS:
+            if ctrl_first[n] == 0.0:
+                drift_pct[n] = None
+            else:
+                drift_pct[n] = round(
+                    (ctrl_last[n] - ctrl_first[n]) / ctrl_first[n] * 100.0, 1
+                )
+        finite = [d for d in drift_pct.values() if d is not None]
+        mean_drift = round(sum(finite) / len(finite), 1) if finite else None
+        return {
+            "timings": timings,
+            "raw": raw,
+            "settle_history": settle_history,
+            "settled": settled,
+            "ctrl_first": ctrl_first,
+            "ctrl_last": ctrl_last,
+            "drift_pct": drift_pct,
+            "mean_drift_pct": mean_drift,
+        }
+
+    # DRIFT-BREACH RETRY: a pass whose endpoint drift exceeds the budget
+    # measured a box that changed state MID-RUN — its medians are
+    # band-inflated no matter how well the settle phase did. Re-run the
+    # whole pass (bounded) and emit the LAST one; every attempted pass's
+    # evidence lands in bench_samples.json so a retry is auditable.
+    passes = [timed_pass()]
+    while (
+        len(passes) <= DRIFT_MAX_RETRIES
+        and passes[-1]["mean_drift_pct"] is not None
+        and abs(passes[-1]["mean_drift_pct"]) > DRIFT_BUDGET_PCT
+    ):
+        passes.append(timed_pass())
+    final = passes[-1]
+    timings = final["timings"]
 
     total = round(sum(timings.values()), 3)
     samples_path = REPO / "bench_samples.json"
@@ -174,10 +218,25 @@ def main() -> None:
         json.dumps(
             {
                 "sf": sf,
-                "samples": raw,
+                "samples": final["raw"],
                 "warmups": warmups,
-                "settle_history": settle_history,
-                "controls": {"first": ctrl_first, "last": ctrl_last},
+                "settle_history": final["settle_history"],
+                "controls": {
+                    "first": final["ctrl_first"],
+                    "last": final["ctrl_last"],
+                },
+                "discarded_passes": [
+                    {
+                        "samples": p["raw"],
+                        "settle_history": p["settle_history"],
+                        "controls": {
+                            "first": p["ctrl_first"],
+                            "last": p["ctrl_last"],
+                        },
+                        "mean_drift_pct": p["mean_drift_pct"],
+                    }
+                    for p in passes[:-1]
+                ],
             },
             indent=1,
         )
@@ -193,10 +252,11 @@ def main() -> None:
                 "sf": sf,
                 "runs": {"default": n_runs, **extra_runs},
                 "controls": {
-                    "drift_pct": drift_pct,
-                    "mean_drift_pct": mean_drift,
-                    "settle_probes": len(settle_history),
-                    "settled": settled,
+                    "drift_pct": final["drift_pct"],
+                    "mean_drift_pct": final["mean_drift_pct"],
+                    "settle_probes": len(final["settle_history"]),
+                    "settled": final["settled"],
+                    "drift_retries": len(passes) - 1,
                 },
                 "samples_file": samples_path.name,
             }

@@ -75,12 +75,21 @@ def _kmeans_np(x: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     k = min(k, len(x))  # degenerate tiny-corpus guard
     cents = x[rng.choice(len(x), size=k, replace=False)].copy()
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                cents[j] = x[m].mean(axis=0)
+        # assignment via ||x||^2 - 2 x.c + ||c||^2 (||x||^2 is constant
+        # per row, irrelevant to argmin) — a (n, k) matmul instead of the
+        # (n, k, dsub) broadcast temp the naive form materializes
+        d = -2.0 * x @ cents.T + (cents**2).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        # vectorized per-cluster means: one scatter-add + bincount
+        # replaces the k-iteration python mask loop (the profile showed
+        # that loop dominating the train step at k=256 x 8 subspaces x
+        # 8 iters); empty clusters keep their previous centroid, same as
+        # the masked form did
+        sums = np.zeros_like(cents)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = counts > 0
+        cents[nz] = sums[nz] / counts[nz, None]
     return cents
 
 

@@ -80,10 +80,20 @@ def main() -> None:
         "q21_waiting_suppliers",
     )
     extras = [n for n in extra_env.split(",") if n]
-    unknown = [n for n in extras if n not in REGISTRY]
+    # SPARK_GRAFT_SCALE_ONLY: measure EXACTLY this comma list and MERGE
+    # the rows into the existing artifact (same scale points required) —
+    # extends the curve set without re-measuring the whole headline tier.
+    only_env = os.environ.get("SPARK_GRAFT_SCALE_ONLY", "")
+    only = [n for n in only_env.split(",") if n]
+    if only:
+        HEADLINE = only
+    else:
+        HEADLINE = list(BENCH_HEADLINE) + [
+            n for n in extras if n not in BENCH_HEADLINE
+        ]
+    unknown = [n for n in HEADLINE if n not in REGISTRY]
     if unknown:
-        raise SystemExit(f"unknown extra queries: {unknown}")
-    HEADLINE = list(BENCH_HEADLINE) + [n for n in extras if n not in BENCH_HEADLINE]
+        raise SystemExit(f"unknown queries: {unknown}")
 
     dirs = sys.argv[1:] or [
         "/tmp/spark_graft_scaled/sf0.1",
@@ -141,13 +151,22 @@ def main() -> None:
                 (alpha > 1.15 or alpha_tail > 1.3) and ts[-1] > 1.0
             ),
         }
+    out_path = REPO / "SCALING_r07.json"
+    if only and out_path.exists():
+        # merge mode: keep every previously measured row, overwrite the
+        # re-measured names — valid only when the scale points match (a
+        # row with a different sf set would break the artifact pin)
+        prior = json.loads(out_path.read_text())
+        if prior["sfs"] == sfs:
+            rows = {**prior["queries"], **rows}
+        else:
+            print(f"scale points changed ({prior['sfs']} -> {sfs}); not merging")
     out = {
         "sfs": sfs,
         "n_runs": n_runs,
         "queries": rows,
         "flagged": sorted(n for n, r in rows.items() if r["flag"]),
     }
-    out_path = REPO / "SCALING_r07.json"
     out_path.write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({"flagged": out["flagged"], "file": out_path.name}))
 

@@ -106,6 +106,87 @@ DRIFT_BUDGET_PCT = 10.0
 DRIFT_MAX_RETRIES = 1
 
 
+def measure_pass(run_once, headline, controls, n_runs, extra_runs) -> dict:
+    """One full measurement pass: settle, timed medians, drift endpoints.
+
+    SETTLE: probe until two consecutive probe totals agree within
+    SETTLE_TOLERANCE (bounded). Each settle probe is a MEDIAN-OF-3
+    (round-6 ADVICE): single control runs carry the documented ±20%
+    noise, so two single probes could agree by coincidence mid-drift —
+    or never agree on a steady box and silently exhaust the budget.
+    Convergence of medians is the signal the drift endpoints actually
+    use, so the last settled probe doubles as ctrl_first (no extra
+    probe). `settled` is emitted so an exhausted budget is visible.
+
+    Shared by bench.py (headline set) and scripts/anchor_bench.py (the
+    non-headline anchors) so the two artifacts stay protocol-identical
+    by construction.
+    """
+
+    def probe_median3() -> dict[str, float]:
+        ps = [{n: run_once(n) for n in controls} for _ in range(3)]
+        return {n: sorted(p[n] for p in ps)[1] for n in controls}
+
+    settle_history: list[dict[str, float]] = [probe_median3()]
+    settled = False
+    while len(settle_history) < SETTLE_MAX_PROBES:
+        nxt = probe_median3()
+        prev_total = sum(settle_history[-1].values())
+        settle_history.append(nxt)
+        if prev_total > 0 and abs(sum(nxt.values()) - prev_total) / prev_total <= SETTLE_TOLERANCE:
+            settled = True
+            break
+    ctrl_first = settle_history[-1]
+
+    timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
+    for name in headline:
+        samples = [run_once(name) for _ in range(extra_runs.get(name, n_runs))]
+        raw[name] = samples
+        timings[name] = sorted(samples)[len(samples) // 2]
+
+    ctrl_last = probe_median3()
+    # Drift guard (round-5 ADVICE): run_once rounds to 3 decimals, so a
+    # sub-0.5 ms control would record 0.0 — emit null for that control
+    # instead of dividing by zero.
+    drift_pct: dict[str, float | None] = {}
+    for n in controls:
+        if ctrl_first[n] == 0.0:
+            drift_pct[n] = None
+        else:
+            drift_pct[n] = round(
+                (ctrl_last[n] - ctrl_first[n]) / ctrl_first[n] * 100.0, 1
+            )
+    finite = [d for d in drift_pct.values() if d is not None]
+    mean_drift = round(sum(finite) / len(finite), 1) if finite else None
+    return {
+        "timings": timings,
+        "raw": raw,
+        "settle_history": settle_history,
+        "settled": settled,
+        "ctrl_first": ctrl_first,
+        "ctrl_last": ctrl_last,
+        "drift_pct": drift_pct,
+        "mean_drift_pct": mean_drift,
+    }
+
+
+def run_with_drift_retry(run_once, headline, controls, n_runs, extra_runs) -> list[dict]:
+    """DRIFT-BREACH RETRY: a pass whose endpoint drift exceeds the budget
+    measured a box that changed state MID-RUN — its medians are
+    band-inflated no matter how well the settle phase did. Re-run the
+    whole pass (bounded) and emit the LAST one; every attempted pass's
+    evidence lands in the samples blob so a retry is auditable."""
+    passes = [measure_pass(run_once, headline, controls, n_runs, extra_runs)]
+    while (
+        len(passes) <= DRIFT_MAX_RETRIES
+        and passes[-1]["mean_drift_pct"] is not None
+        and abs(passes[-1]["mean_drift_pct"]) > DRIFT_BUDGET_PCT
+    ):
+        passes.append(measure_pass(run_once, headline, controls, n_runs, extra_runs))
+    return passes
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -126,16 +207,6 @@ def main() -> None:
     # see, or first-vs-last control drift measures our own warm-up.
     warmups: dict[str, float] = {n: run_once(n) for n in HEADLINE}
 
-    def probe() -> dict[str, float]:
-        return {n: run_once(n) for n in CONTROLS}
-
-    def probe_median3() -> dict[str, float]:
-        # single control runs carry ±20% noise at sub-second timings —
-        # a drift number computed from two single runs would mostly
-        # measure that noise, so both endpoints are medians of 3.
-        ps = [probe() for _ in range(3)]
-        return {n: sorted(p[n] for p in ps)[1] for n in CONTROLS}
-
     # Median of n runs per query (BASELINE.md protocol): single runs show
     # ±0.3 s noise on this box, which swamps small plan-level regressions.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -144,71 +215,7 @@ def main() -> None:
         "dedup_minhash_candidates": max(n_runs, 5),
     }
 
-    def timed_pass() -> dict:
-        # SETTLE: probe until two consecutive probe totals agree within
-        # SETTLE_TOLERANCE (bounded). Each settle probe is a MEDIAN-OF-3
-        # (round-6 ADVICE): single control runs carry the documented ±20%
-        # noise, so two single probes could agree by coincidence mid-drift
-        # — or never agree on a steady box and silently exhaust the
-        # budget. Convergence of medians is the signal the drift endpoints
-        # actually use, so the last settled probe doubles as ctrl_first
-        # (no extra probe). `settled` is emitted so an exhausted budget
-        # is visible.
-        settle_history: list[dict[str, float]] = [probe_median3()]
-        settled = False
-        while len(settle_history) < SETTLE_MAX_PROBES:
-            nxt = probe_median3()
-            prev_total = sum(settle_history[-1].values())
-            settle_history.append(nxt)
-            if prev_total > 0 and abs(sum(nxt.values()) - prev_total) / prev_total <= SETTLE_TOLERANCE:
-                settled = True
-                break
-        ctrl_first = settle_history[-1]
-
-        timings: dict[str, float] = {}
-        raw: dict[str, list[float]] = {}
-        for name in HEADLINE:
-            samples = [run_once(name) for _ in range(extra_runs.get(name, n_runs))]
-            raw[name] = samples
-            timings[name] = sorted(samples)[len(samples) // 2]
-
-        ctrl_last = probe_median3()
-        # Drift guard (round-5 ADVICE): run_once rounds to 3 decimals, so
-        # a sub-0.5 ms control would record 0.0 — emit null for that
-        # control instead of dividing by zero.
-        drift_pct: dict[str, float | None] = {}
-        for n in CONTROLS:
-            if ctrl_first[n] == 0.0:
-                drift_pct[n] = None
-            else:
-                drift_pct[n] = round(
-                    (ctrl_last[n] - ctrl_first[n]) / ctrl_first[n] * 100.0, 1
-                )
-        finite = [d for d in drift_pct.values() if d is not None]
-        mean_drift = round(sum(finite) / len(finite), 1) if finite else None
-        return {
-            "timings": timings,
-            "raw": raw,
-            "settle_history": settle_history,
-            "settled": settled,
-            "ctrl_first": ctrl_first,
-            "ctrl_last": ctrl_last,
-            "drift_pct": drift_pct,
-            "mean_drift_pct": mean_drift,
-        }
-
-    # DRIFT-BREACH RETRY: a pass whose endpoint drift exceeds the budget
-    # measured a box that changed state MID-RUN — its medians are
-    # band-inflated no matter how well the settle phase did. Re-run the
-    # whole pass (bounded) and emit the LAST one; every attempted pass's
-    # evidence lands in bench_samples.json so a retry is auditable.
-    passes = [timed_pass()]
-    while (
-        len(passes) <= DRIFT_MAX_RETRIES
-        and passes[-1]["mean_drift_pct"] is not None
-        and abs(passes[-1]["mean_drift_pct"]) > DRIFT_BUDGET_PCT
-    ):
-        passes.append(timed_pass())
+    passes = run_with_drift_retry(run_once, HEADLINE, CONTROLS, n_runs, extra_runs)
     final = passes[-1]
     timings = final["timings"]
 

@@ -451,9 +451,11 @@ assert len(ROUND8_WINDOW) == 50, len(ROUND8_WINDOW)
 # The window the driver's 50-slot gate sees THIS round. Round 7 flips to
 # the staged ROUND7_WINDOW (CORRECTNESS_r06: 50/50 clean): the freshness
 # rotation continues oldest-first — the 44 round-3-vintage queries, the
-# 4 round-3 heads displaced from ROUND6_WINDOW, and the 2 oldest
-# round-4 heads. After this lands, no evidence anywhere is older than
-# round 4 (within the 4-round gate). COVERAGE.md keeps the vintage
+# 4 round-3 heads displaced from ROUND6_WINDOW, the oldest round-4 head
+# (agg_basic), and 1 first-proof slot for the sink_zorder_pruning oracle
+# newly paired this round (the displaced round-4 head agg_bool is staged
+# in ROUND8_WINDOW). After this lands, no evidence anywhere is older
+# than round 4 (within the 4-round gate). COVERAGE.md keeps the vintage
 # ledger.
 _ACTIVE_WINDOW = ROUND7_WINDOW
 

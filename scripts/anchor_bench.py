@@ -1,15 +1,17 @@
-"""Protocol-v2 re-measurement of the NON-headline perf anchors.
+"""Protocol-v2.2 re-measurement of the NON-headline perf anchors.
 
 VERDICT r6 task 3: the heavy non-headline queries carry anchors measured
-in round 2 under the old warm-up-in-median protocol (and two of them —
-dedup_clusters / pipeline_near_dedup_remove — changed in round 6 with the
-CC null-edge filter + driver fast path; sink_zorder_pruning changed in
-round 7 with the conservation-oracle reshape). This runner applies the
-same protocol as bench.py — one untimed global warm-up over every anchor,
-median-of-3 settle probes on the fixed 3-query control set, median-of-3
-timed runs, first/last control drift — so these anchors become comparable
-to the re-baselined headline medians and regressions in this tier stop
-being invisible.
+in round 2 under the old warm-up-in-median protocol (and three of them
+changed since: dedup_clusters / pipeline_near_dedup_remove got the r5
+driver fast path + r6 null-edge filter; sink_zorder_pruning got the r7
+conservation-oracle reshape). This runner IMPORTS bench.py's measurement
+machinery — global warm-up, median-of-3 settle probes on the same fixed
+3-query control set, median-of-3 timed runs, drift endpoints, and the
+round-7 drift-breach auto-retry — so the anchor artifact stays
+protocol-identical to BENCH_rN by construction, and records the control
+probe VALUES so a later reader can normalize an anchor row to the box
+state it was measured under (drift measures within-run change, not
+absolute box speed).
 
 Usage: python scripts/anchor_bench.py   # sf0.1 via $SPARK_GRAFT_SF_DIR
 Prints ONE JSON line mirroring bench.py's compact shape.
@@ -27,6 +29,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+import bench  # noqa: E402  (shared protocol: measure_pass / retry / CONTROLS)
 from rws_data_ingester_spark.plans import REGISTRY  # noqa: E402
 from rws_data_ingester_spark.session import get_spark  # noqa: E402
 
@@ -38,9 +41,6 @@ ANCHORS = [
     "sink_zorder_pruning",
     "stream_scheduled_refresh",
 ]
-CONTROLS = ["q1_pricing_summary", "join_inner_customer_orders", "window_running"]
-SETTLE_MAX_PROBES = 5
-SETTLE_TOLERANCE = 0.10
 
 
 def main() -> None:
@@ -54,58 +54,32 @@ def main() -> None:
         REGISTRY[name].fn(spark, sf_dir).count()
         return round(time.perf_counter() - t0, 3)
 
-    warmups = {n: run_once(n) for n in ANCHORS + CONTROLS}
-
-    def probe_median3() -> dict[str, float]:
-        ps = [{n: run_once(n) for n in CONTROLS} for _ in range(3)]
-        return {n: sorted(p[n] for p in ps)[1] for n in CONTROLS}
-
-    settle_history = [probe_median3()]
-    settled = False
-    while len(settle_history) < SETTLE_MAX_PROBES:
-        nxt = probe_median3()
-        prev_total = sum(settle_history[-1].values())
-        settle_history.append(nxt)
-        if prev_total > 0 and abs(sum(nxt.values()) - prev_total) / prev_total <= SETTLE_TOLERANCE:
-            settled = True
-            break
-    ctrl_first = settle_history[-1]
+    # global warm-up: anchors AND controls (the controls are not in
+    # ANCHORS, so without this their first settle probe would measure
+    # codegen compile instead of box state)
+    warmups = {n: run_once(n) for n in ANCHORS + bench.CONTROLS}
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    raw = {n: [run_once(n) for _ in range(n_runs)] for n in ANCHORS}
-    timings = {n: sorted(s)[len(s) // 2] for n, s in raw.items()}
-
-    ctrl_last = probe_median3()
-    drift = {
-        n: (
-            None
-            if ctrl_first[n] == 0.0
-            else round((ctrl_last[n] - ctrl_first[n]) / ctrl_first[n] * 100.0, 1)
-        )
-        for n in CONTROLS
-    }
-    finite = [d for d in drift.values() if d is not None]
+    passes = bench.run_with_drift_retry(
+        run_once, ANCHORS, bench.CONTROLS, n_runs, extra_runs={}
+    )
+    final = passes[-1]
     print(
         json.dumps(
             {
                 "metric": "anchor_queries_protocol_v2",
-                "queries": timings,
-                "samples": raw,
+                "queries": final["timings"],
+                "samples": final["raw"],
+                "warmups": warmups,
                 "sf": sf,
                 "controls": {
-                    # first/last probe VALUES, not just drift: anchors are
-                    # compared across rounds on a box whose absolute speed
-                    # wanders (the r5 −43.7% episode) — the control
-                    # medians let a later reader normalize an anchor row
-                    # to the box state it was measured under.
-                    "first": ctrl_first,
-                    "last": ctrl_last,
-                    "drift_pct": drift,
-                    "mean_drift_pct": round(sum(finite) / len(finite), 1)
-                    if finite
-                    else None,
-                    "settle_probes": len(settle_history),
-                    "settled": settled,
+                    "first": final["ctrl_first"],
+                    "last": final["ctrl_last"],
+                    "drift_pct": final["drift_pct"],
+                    "mean_drift_pct": final["mean_drift_pct"],
+                    "settle_probes": len(final["settle_history"]),
+                    "settled": final["settled"],
+                    "drift_retries": len(passes) - 1,
                 },
             }
         )

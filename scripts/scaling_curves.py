@@ -106,6 +106,22 @@ def main() -> None:
         raise SystemExit(
             "need >=2 scale dirs; run scripts/make_scaled_fixtures.py first"
         )
+    out_path = REPO / "SCALING_r07.json"
+    if only and out_path.exists():
+        # merge-mode precondition, checked BEFORE any measurement: the
+        # re-measured rows can only join the committed artifact if the
+        # scale points match exactly (a mismatched row would break the
+        # per-row sec_by_sf/len(sfs) pin) — refuse up front instead of
+        # discovering it after minutes of timed runs.
+        prior_sfs = json.loads(out_path.read_text())["sfs"]
+        planned = sorted(_sf_of(d) for d in dirs)
+        if prior_sfs != planned:
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALE_ONLY merge refused: scale points "
+                f"{planned} do not match the committed artifact's "
+                f"{prior_sfs} — re-run with the full dir set (or "
+                f"without SCALE_ONLY to regenerate everything)"
+            )
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
     cores = os.environ.get("SPARK_GRAFT_SCALE_CORES", "8")
     spark = get_spark(
@@ -151,16 +167,12 @@ def main() -> None:
                 (alpha > 1.15 or alpha_tail > 1.3) and ts[-1] > 1.0
             ),
         }
-    out_path = REPO / "SCALING_r07.json"
     if only and out_path.exists():
         # merge mode: keep every previously measured row, overwrite the
-        # re-measured names — valid only when the scale points match (a
-        # row with a different sf set would break the artifact pin)
+        # re-measured names (scale-point equality was checked up front)
         prior = json.loads(out_path.read_text())
-        if prior["sfs"] == sfs:
-            rows = {**prior["queries"], **rows}
-        else:
-            print(f"scale points changed ({prior['sfs']} -> {sfs}); not merging")
+        assert prior["sfs"] == sfs, (prior["sfs"], sfs)
+        rows = {**prior["queries"], **rows}
     out = {
         "sfs": sfs,
         "n_runs": n_runs,

@@ -259,6 +259,16 @@ def main() -> None:
                 "sf": sf,
                 "runs": {"default": n_runs, **extra_runs},
                 "controls": {
+                    # the control probe VALUES (not just drift) make the
+                    # artifact band-legible on its own: drift measures
+                    # within-run change, so a box running uniformly slow
+                    # emits a settled low-drift pass with an inflated
+                    # total — the first/last control medians against the
+                    # re-baselined control band (BASELINE.md: q1
+                    # 0.33-0.37 s) distinguish that band inflation from
+                    # a plan regression without the samples blob.
+                    "first": final["ctrl_first"],
+                    "last": final["ctrl_last"],
                     "drift_pct": final["drift_pct"],
                     "mean_drift_pct": final["mean_drift_pct"],
                     "settle_probes": len(final["settle_history"]),

@@ -103,6 +103,13 @@ def test_steady_box_emits_single_pass(monkeypatch, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["controls"]["drift_retries"] == 0
     assert out["controls"]["settled"] is True
+    # band-legibility: the compact line must carry the control VALUES
+    # (first/last probe medians), not just their drift — a uniformly
+    # slow box emits settled low-drift passes whose inflation only the
+    # absolute control values reveal
+    assert set(out["controls"]["first"]) == {"c1"}
+    assert set(out["controls"]["last"]) == {"c1"}
+    assert out["controls"]["first"]["c1"] > 0
     assert out["metric"] == "headline_queries_total_wall"
     assert out["unit"] == "sec"
     assert out["value"] > 0

@@ -448,16 +448,83 @@ ROUND8_WINDOW = (
 )
 assert len(ROUND8_WINDOW) == 50, len(ROUND8_WINDOW)
 
-# The window the driver's 50-slot gate sees THIS round. Round 7 flips to
-# the staged ROUND7_WINDOW (CORRECTNESS_r06: 50/50 clean): the freshness
-# rotation continues oldest-first — the 44 round-3-vintage queries, the
-# 4 round-3 heads displaced from ROUND6_WINDOW, the oldest round-4 head
-# (agg_basic), and 1 first-proof slot for the sink_zorder_pruning oracle
-# newly paired this round (the displaced round-4 head agg_bool is staged
-# in ROUND8_WINDOW). After this lands, no evidence anywhere is older
-# than round 4 (within the 4-round gate). COVERAGE.md keeps the vintage
-# ledger.
-_ACTIVE_WINDOW = ROUND7_WINDOW
+# Staged for round 9 (flip once CORRECTNESS_r08 lands): with round 8
+# re-proving the round-4 vintage, the oldest evidence remaining is the
+# 44 round-5-vintage queries (the r5 first-proof tier: set ops, pivot/
+# unpivot, subqueries, the dedup/similarity/pipeline heavies, the
+# rows-only codec and stream-stateful queries) plus the 6
+# alphabetically-first round-6-vintage heads (44 + 6 = 50). Recomputed
+# from ∪CORRECTNESS_r*.json through r07 per the COVERAGE.md policy
+# (vintage distribution after r08: 44×r5 + 50×r6 + 50×r7 + 50×r8);
+# well-formedness pinned by
+# tests/test_oracle_parity.py::test_round9_staged_window_is_well_formed.
+ROUND9_WINDOW = (
+    # round-5 vintage (44)
+    "agg_approx_percentile_bounds",
+    "agg_cube",
+    "agg_distinct",
+    "agg_filtered",
+    "agg_freq_items",
+    "agg_grouping_sets",
+    "agg_hll_sketch_merge",
+    "agg_min_max_by",
+    "agg_stats",
+    "agg_string_collect",
+    "bpe_vocab_train",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_incremental_index",
+    "distinct_rows",
+    "engagement_wau_hll",
+    "http_fanout_spots",
+    "in_subquery_customers",
+    "limit_offset",
+    "multimodal_adpcm_roundtrip",
+    "multimodal_jpeg_decode",
+    "pipeline_near_dedup_remove",
+    "pipeline_quality_classifier",
+    "pipeline_report_offline",
+    "pipeline_semantic_dedup",
+    "pipeline_training_data",
+    "pivot_status_by_flag",
+    "sample_weighted_reservoir",
+    "scalar_json_funcs",
+    "scalar_subquery_above_avg",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "simsearch_topk_exact",
+    "simsearch_topk_pq",
+    "source_python_datasource",
+    "stream_stateful_running_totals",
+    "stream_stream_click_attribution",
+    "text_quality_scores",
+    "text_span_corruption",
+    "unpivot_order_metrics",
+    "watermark_cutoff",
+    "window_rank",
+    # round-6 vintage heads, alphabetically first (6)
+    "agg_collect_set",
+    "agg_histogram",
+    "data_profile_documents",
+    "dedup_embedding_cosine",
+    "dedup_exact_hash",
+    "dedup_first_event",
+)
+assert len(ROUND9_WINDOW) == 50, len(ROUND9_WINDOW)
+
+# The window the driver's 50-slot gate sees THIS round. Round 8 flips to
+# the staged ROUND8_WINDOW (CORRECTNESS_r07: 50/50 clean — 48 oracle
+# hash-green + 2 rows-only codec queries at design row counts): the
+# freshness rotation re-proves the round-4 vintage — the 22 TPC-H
+# composites, the full join matrix, the connector round-trips — which
+# after r7 is the oldest evidence in the ledger (age 4, at the gate
+# boundary), plus the displaced round-4 head agg_bool and the
+# alphabetically-first round-5 head agg_approx_distinct_bounds. After
+# this lands, no evidence anywhere is older than round 5 (within the
+# 4-round gate). COVERAGE.md keeps the vintage ledger.
+_ACTIVE_WINDOW = ROUND8_WINDOW
 
 _missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
 assert not _missing, f"active window names not registered: {_missing}"

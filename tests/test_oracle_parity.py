@@ -334,6 +334,30 @@ def test_round8_staged_window_is_well_formed():
     assert not never, f"round-8 slots on never-evidenced queries (use a dark-tier window): {never}"
 
 
+def test_round9_staged_window_is_well_formed():
+    """ROUND9_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
+    after CORRECTNESS_r08): 50 registered names, no overlap with the
+    round-8 window, and every slot continues the freshness rotation —
+    at staging time (evidence through r07) each slot's latest driver row
+    is round-5/6 vintage, i.e. the oldest evidence remaining once the
+    round-8 window re-proves the round-4 tier."""
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND8_WINDOW, ROUND9_WINDOW
+
+    assert len(ROUND9_WINDOW) == 50
+    missing = [n for n in ROUND9_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert not set(ROUND9_WINDOW) & set(ROUND8_WINDOW)
+
+    repo = Path(__file__).resolve().parents[1]
+    latest = _latest_driver_round(repo, through_round=7)
+    stale = [n for n in ROUND9_WINDOW if latest.get(n, 0) > 6]
+    assert not stale, f"round-9 slots wasted on fresh evidence: {stale}"
+    never = [n for n in ROUND9_WINDOW if latest.get(n, 0) == 0]
+    assert not never, f"round-9 slots on never-evidenced queries (use a dark-tier window): {never}"
+
+
 def test_evidence_freshness_rotation_cannot_stall():
     """Freshness gate (VERDICT r5, task 7): every registered query's
     evidence — its latest clean driver row, or its slot in the currently

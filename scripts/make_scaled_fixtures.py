@@ -31,19 +31,22 @@ kept consistent so every join hits exactly as it does at 1×:
   event_id  user_id  doc_id  vec_id``) gets ``+ clone*OFFSET`` with one
   global OFFSET (1e9 > any source key), so id-equality joins across any
   table pair still match within a clone and never across clones.
-- ``documents.text`` is letter-rotated per clone (``translate`` rot-i on
-  a-z/A-Z — pure codegen). This preserves every per-row cost driver
-  (lengths, token counts, whitespace/punctuation structure, n_chars) and
-  the WITHIN-clone near-dup structure exactly (two rot-i'd near-dups
-  share exactly the shingles their originals shared), while making
-  cross-clone shingle sets disjoint. Without it, K identical text clones
-  turn every MinHash band bucket into a ≥K-member bucket and the
-  candidate-edge count explodes combinatorially — a data-duplication
-  artifact that would drown the engine's own scaling in the curve. With
-  it, the LSH candidate set scales exactly K×.
-- ``embeddings.embedding`` is circularly shifted per clone (a coordinate
-  permutation = orthogonal transform): all WITHIN-clone inner products /
-  cosines are bit-identical to the source geometry, so per-clone ANN and
+- ``documents.text`` is letter-permuted per clone (``translate`` with a
+  seeded per-clone derangement of a-z/A-Z — pure codegen; round 7 used
+  rot-i, which has period 26 and collides at k>26). This preserves every
+  per-row cost driver (lengths, token counts, whitespace/punctuation
+  structure, n_chars) and the WITHIN-clone near-dup structure exactly
+  (two permuted near-dups share exactly the shingles their originals
+  shared), while making cross-clone shingle sets disjoint at ANY k.
+  Without it, K identical text clones turn every MinHash band bucket
+  into a ≥K-member bucket and the candidate-edge count explodes
+  combinatorially — a data-duplication artifact that would drown the
+  engine's own scaling in the curve. With it, the LSH candidate set
+  scales exactly K×.
+- ``embeddings.embedding`` gets a per-clone SIGNED circular shift (a
+  signed coordinate permutation = orthogonal transform; round 7 used the
+  plain shift, period 64, colliding at k>64): all WITHIN-clone inner
+  products / cosines are preserved exactly, so per-clone ANN and
   semantic-dedup workload shape is exactly the 1× workload, K times —
   while cross-clone vectors decorrelate instead of forming K-deep ties
   (identical clones would land in one quantizer cell and make cell-local
@@ -94,23 +97,71 @@ _LOWER = "abcdefghijklmnopqrstuvwxyz"
 _UPPER = _LOWER.upper()
 
 
+def _clone_permutation(i: int) -> str:
+    """Deterministic letter DERANGEMENT for clone i (>=1): a seeded
+    shuffle of a-z, re-drawn (seed stepped) until no letter maps to
+    itself. Rotation (rot-i, the round-7 transform) has period 26, so at
+    k>26 clone i and clone i-26 carried IDENTICAL text — every such doc
+    pair lands in the same MinHash band buckets and the cross-clone
+    duplicate pairs grow ~quadratically in k/26, a data-duplication
+    artifact that would drown the engine's own scaling at k=100. Two
+    distinct random permutations agree on a whole shingle only if every
+    letter in it maps identically under both — never in practice — so
+    cross-clone shingle sets stay disjoint at any k, while any letter
+    bijection preserves WITHIN-clone equality structure exactly (same
+    guarantee rotation gave). The derangement requirement keeps the
+    existing decorrelation pin exact: clone text differs from base
+    whenever the base contains any letter."""
+    import random
+
+    rng_seed = i
+    while True:
+        perm = list(range(26))
+        random.Random(rng_seed).shuffle(perm)
+        if all(p != j for j, p in enumerate(perm)):
+            lo = "".join(_LOWER[p] for p in perm)
+            return lo + lo.upper()
+        rng_seed += 1_000_003
+
+
 def _rot_text(col: F.Column, i: int) -> F.Column:
-    """Per-clone letter rotation (rot-i over a-z and A-Z) — one codegen
-    ``translate``, no UDF. Clone 0 is the identity."""
-    r = i % 26
-    if r == 0:
+    """Per-clone letter permutation — one codegen ``translate``, no UDF.
+    Clone 0 is the identity; clones >=1 get a seeded derangement (see
+    ``_clone_permutation`` for why rotation stops working past k=26)."""
+    if i == 0:
         return col
-    rotated = _LOWER[r:] + _LOWER[:r] + _UPPER[r:] + _UPPER[:r]
-    return F.translate(col, _LOWER + _UPPER, rotated)
+    return F.translate(col, _LOWER + _UPPER, _clone_permutation(i))
 
 
 def _shift_embedding(col: F.Column, i: int, dim: int) -> F.Column:
-    """Per-clone circular coordinate shift — an orthogonal transform, so
-    every within-clone inner product is preserved exactly."""
-    s = (i * 7) % dim
-    if s == 0:
+    """Per-clone signed circular coordinate shift — a signed permutation
+    matrix, i.e. orthogonal, so every within-clone inner product is
+    preserved exactly (products ±x_j·±y_j == x_j·y_j term-for-term; only
+    summation order moves). The plain shift (round-7 transform) has
+    period dim/gcd(7,dim) = 64, so at k>64 clone i and clone i-64 carried
+    bit-identical vectors — K-deep exact ties that make cell-local
+    pairwise work quadratic in k, a duplication artifact. Composing a
+    seeded per-clone sign pattern makes a cross-clone collision require
+    identical shift AND identical 64-bit sign vector (~2^-64). Clone 0
+    is the identity."""
+    import random
+
+    if i == 0:
         return col
-    return F.concat(F.slice(col, s + 1, dim - s), F.slice(col, 1, s))
+    s = (i * 7) % dim
+    shifted = (
+        F.concat(F.slice(col, s + 1, dim - s), F.slice(col, 1, s))
+        if s
+        else col
+    )
+    signs = [random.Random((i << 20) + j).choice((1.0, -1.0)) for j in range(dim)]
+    if all(x > 0 for x in signs):  # pragma: no cover - 2^-64
+        signs[0] = -1.0
+    return F.zip_with(
+        shifted,
+        F.array(*[F.lit(x) for x in signs]),
+        lambda v, sg: v * sg,
+    )
 
 
 def clone_table(df: DataFrame, name: str, k: int, emb_dim: int | None) -> DataFrame:

@@ -1,19 +1,19 @@
 """Measure per-query scaling curves across scale factors (VERDICT r6,
-task 2): run the bench HEADLINE queries at the k=1/3/10 id-offset-clone
-warehouses from ``make_scaled_fixtures.py`` (~sf0.1, ~sf0.3, ~sf1.0),
-fit a per-query scaling exponent, and flag anything superlinear beyond
-its declared complexity.
+task 2; extended r8 per VERDICT r7, task 2): run the bench HEADLINE
+queries at the k-id-offset-clone warehouses from
+``make_scaled_fixtures.py``, fit a per-query scaling exponent, and flag
+anything superlinear beyond its declared complexity.
 
     python scripts/make_scaled_fixtures.py            # once, ~2 min
-    python scripts/scaling_curves.py                  # writes SCALING_r07.json
+    python scripts/scaling_curves.py                  # writes SCALING_r08.json
 
 Instrument design — the measurement must isolate WORK growth:
 
-- All three scale points come from the same generator (k=1 included),
-  so parquet layout, compression, and files-per-row density are
-  uniform. Measuring the driver's single-file sf0.1 fixtures against
-  multi-file clones inverted the curve (10x data, 1.8x FASTER — the 1x
-  scan ran on one task, the 10x scan on twenty).
+- All scale points come from the same generator (k=1 included), so
+  parquet layout, compression, and files-per-row density are uniform.
+  Measuring the driver's single-file sf0.1 fixtures against multi-file
+  clones inverted the curve (10x data, 1.8x FASTER — the 1x scan ran on
+  one task, the 10x scan on twenty).
 - The session is a FIXED local[8] with shuffle.partitions=8 and every
   table written as >=8 files, so all scale points saturate the same
   cores and wall time tracks total work instead of free parallelism —
@@ -22,12 +22,38 @@ Instrument design — the measurement must isolate WORK growth:
 Protocol (mirrors bench.py's): per scale point, one untimed warm-up pass
 over every query first (codegen/JIT compile out of the medians), then
 median of N=3 timed runs per query. Exponent: least-squares slope of
-log(t) vs log(sf) over the three points — fixed per-query overhead
+log(t) vs log(sf) over the row's points — fixed per-query overhead
 (planning, task launch) damps exponents BELOW the asymptotic complexity
 at these absolute times, so the flag threshold is alpha > 1.15 AND
 t(max_sf) > 1 s (sub-second queries are overhead-dominated and their
 slope is noise). Expected-superlinear queries carry a declared bound
 instead (sorts: n log n → alpha ≤ ~1.1 at this range; none quadratic).
+
+Round-8 extension (VERDICT r7, task 2): the 30x sweep topped out at sf3
+where fact-fact queries were just entering the data-dominated regime
+(q18 tail alpha 0.99 means fixed cost only stopped mattering at the
+last leg), so the scale-critical tier — every round-7 row with tail
+alpha > 0.6, plus q21 (its sf1 step was probed in r7) — gets a 5th
+point at ~sf10 (k=100). The sf3→sf10 leg is the first honest asymptotic
+read for that tier. Artifact schema v2: rows carry their OWN
+``sec_by_sf`` point set (tier rows have 5 points, carried-over rows 4)
+and their OWN ``n_runs`` (merged rows measured under a different
+SPARK_GRAFT_SCALE_RUNS keep their true sample count — round-7 advice).
+
+Env knobs:
+- SPARK_GRAFT_SCALE_TIER      comma list measured at the extra tier dirs
+  (default: the round-8 scale-critical tier). "" disables the extension.
+- SPARK_GRAFT_SCALE_TIER_DIRS comma list of extra scale dirs for the
+  tier (default /tmp/spark_graft_scaled/sf10).
+- SPARK_GRAFT_SCALE_ONLY      measure EXACTLY this comma list and merge
+  into the existing OUT artifact, seeding from CARRY when OUT does not
+  exist yet (refused when NEITHER exists — a fresh clone must run the
+  full sweep, not silently write a partial artifact).
+- SPARK_GRAFT_SCALE_CARRY     prior artifact whose rows seed OUT
+  (default SCALING_r07.json if present); re-measured names overwrite
+  carried rows, everything else keeps its recorded points and n_runs.
+- SPARK_GRAFT_SCALE_OUT       output artifact (default SCALING_r08.json).
+- SPARK_GRAFT_SCALE_RUNS / SPARK_GRAFT_SCALE_CORES as in round 7.
 """
 
 from __future__ import annotations
@@ -45,6 +71,21 @@ sys.path.insert(0, str(REPO))
 
 from rws_data_ingester_spark.session import get_spark  # noqa: E402
 
+# Round-8 scale-critical tier: every SCALING_r07 row with tail alpha
+# > 0.6 (the queries whose last measured leg was still steepening —
+# zorder sink 1.00, q18 0.99, salted join 0.96, minhash 0.77,
+# join_inner 0.76, CC path 0.72, cohort 0.69, near-dedup remove 0.68,
+# broadcast star 0.66, LSH 0.63, window topk 0.63, rollup 0.61,
+# training funnel 0.60, q5 0.60) plus q21 (VERDICT r7: its sf1 step was
+# probed and cleared — the sf10 point pins that read).
+DEFAULT_TIER = (
+    "sink_zorder_pruning,q18_large_volume_customers,join_salted_skew,"
+    "dedup_minhash_candidates,join_inner_customer_orders,dedup_clusters,"
+    "cohort_retention,pipeline_near_dedup_remove,join_broadcast_star,"
+    "simsearch_topk_lsh,window_topk_per_group,agg_rollup,"
+    "pipeline_training_data,q5_local_supplier_volume,q21_waiting_suppliers"
+)
+
 
 def _sf_of(d: str) -> float:
     m = re.search(r"sf([0-9.]+)", d)
@@ -58,6 +99,27 @@ def _slope(xs: list[float], ys: list[float]) -> float:
     num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
     den = sum((x - mx) ** 2 for x in xs)
     return num / den if den else float("nan")
+
+
+def _fit_row(sec_by_sf: dict[str, float], n_runs: int) -> dict:
+    """Exponents + flag from a row's own (possibly extended) point set."""
+    sfs = sorted(float(s) for s in sec_by_sf)
+    ts = [sec_by_sf[f"{s:g}"] for s in sfs]
+    log_sf = [math.log(s) for s in sfs]
+    alpha = _slope(log_sf, [math.log(max(t, 1e-3)) for t in ts])
+    # tail exponent over the last two (largest) points: there the fixed
+    # per-query overhead matters least, so a hidden quadratic shows as
+    # ~2 even when the full-fit alpha is overhead-damped
+    alpha_tail = math.log(max(ts[-1], 1e-3) / max(ts[-2], 1e-3)) / (
+        log_sf[-1] - log_sf[-2]
+    )
+    return {
+        "sec_by_sf": {f"{s:g}": sec_by_sf[f"{s:g}"] for s in sfs},
+        "n_runs": n_runs,
+        "alpha": round(alpha, 3),
+        "alpha_tail": round(alpha_tail, 3),
+        "flag": bool((alpha > 1.15 or alpha_tail > 1.3) and ts[-1] > 1.0),
+    }
 
 
 def main() -> None:
@@ -91,6 +153,8 @@ def main() -> None:
         HEADLINE = list(BENCH_HEADLINE) + [
             n for n in extras if n not in BENCH_HEADLINE
         ]
+    tier_env = os.environ.get("SPARK_GRAFT_SCALE_TIER", DEFAULT_TIER)
+    tier = [n for n in tier_env.split(",") if n and n in HEADLINE]
     unknown = [n for n in HEADLINE if n not in REGISTRY]
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}")
@@ -106,19 +170,52 @@ def main() -> None:
         raise SystemExit(
             "need >=2 scale dirs; run scripts/make_scaled_fixtures.py first"
         )
-    out_path = REPO / "SCALING_r07.json"
-    if only and out_path.exists():
-        # merge-mode precondition, checked BEFORE any measurement: the
-        # re-measured rows can only join the committed artifact if the
-        # scale points match exactly (a mismatched row would break the
-        # per-row sec_by_sf/len(sfs) pin) — refuse up front instead of
-        # discovering it after minutes of timed runs.
-        prior_sfs = json.loads(out_path.read_text())["sfs"]
+    tier_dirs = [
+        d
+        for d in os.environ.get(
+            "SPARK_GRAFT_SCALE_TIER_DIRS", "/tmp/spark_graft_scaled/sf10"
+        ).split(",")
+        if d and os.path.isdir(d)
+    ]
+    if tier and not tier_dirs:
+        print(
+            "WARNING: tier extension requested but no tier dir exists "
+            "(run make_scaled_fixtures.py with SPARK_GRAFT_SCALE_KS=100); "
+            "tier rows will carry base points only",
+            flush=True,
+        )
+    out_path = REPO / os.environ.get("SPARK_GRAFT_SCALE_OUT", "SCALING_r08.json")
+    carry_name = os.environ.get("SPARK_GRAFT_SCALE_CARRY", "SCALING_r07.json")
+    carry_path = REPO / carry_name if carry_name else None
+    if only:
+        # merge-mode preconditions, checked BEFORE any measurement:
+        # (a) the seed artifact the 'only' rows merge into (OUT if it
+        # exists, else the CARRY artifact) must exist — on a fresh clone
+        # with both deleted/renamed, silently writing a partial artifact
+        # containing only the 'only' rows would surface hours later in
+        # test_scaling_artifact (round-7 advice); (b) the re-measured
+        # rows' BASE points must match the seed's so per-row curves stay
+        # comparable.
+        seed_path = (
+            out_path
+            if out_path.exists()
+            else carry_path
+            if carry_path and carry_path.exists()
+            else None
+        )
+        if seed_path is None:
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALE_ONLY merge refused: neither "
+                f"{out_path.name} nor the carry artifact "
+                f"({carry_name or 'unset'}) exists — run the full sweep "
+                f"first (unset SCALE_ONLY), then merge re-measured rows"
+            )
+        prior_sfs = json.loads(seed_path.read_text())["sfs"]
         planned = sorted(_sf_of(d) for d in dirs)
         if prior_sfs != planned:
             raise SystemExit(
                 f"SPARK_GRAFT_SCALE_ONLY merge refused: scale points "
-                f"{planned} do not match the committed artifact's "
+                f"{planned} do not match {seed_path.name}'s "
                 f"{prior_sfs} — re-run with the full dir set (or "
                 f"without SCALE_ONLY to regenerate everything)"
             )
@@ -136,46 +233,44 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     results: dict[str, dict[str, float]] = {n: {} for n in HEADLINE}
-    for d in dirs:
+    for d in dirs + tier_dirs:
         sf = _sf_of(d)
-        print(f"== scale point sf={sf} ({d}) ==", flush=True)
-        for n in HEADLINE:  # warm-up pass, untimed
+        names = HEADLINE if d in dirs else [n for n in tier if n in HEADLINE]
+        print(f"== scale point sf={sf} ({d}, {len(names)} queries) ==", flush=True)
+        for n in names:  # warm-up pass, untimed
             run_once(n, d)
-        for n in HEADLINE:
+        for n in names:
             samples = sorted(run_once(n, d) for _ in range(n_runs))
             med = samples[len(samples) // 2]
             results[n][f"{sf:g}"] = med
             print(f"  {n}: {med}s {samples}", flush=True)
 
     sfs = sorted(_sf_of(d) for d in dirs)
-    log_sf = [math.log(s) for s in sfs]
-    rows = {}
-    for n in HEADLINE:
-        ts = [results[n][f"{s:g}"] for s in sfs]
-        alpha = _slope(log_sf, [math.log(max(t, 1e-3)) for t in ts])
-        # tail exponent over the last two (largest) points: there the
-        # fixed per-query overhead matters least, so a hidden quadratic
-        # shows as ~2 even when the full-fit alpha is overhead-damped
-        alpha_tail = math.log(max(ts[-1], 1e-3) / max(ts[-2], 1e-3)) / (
-            log_sf[-1] - log_sf[-2]
-        )
-        rows[n] = {
-            "sec_by_sf": results[n],
-            "alpha": round(alpha, 3),
-            "alpha_tail": round(alpha_tail, 3),
-            "flag": bool(
-                (alpha > 1.15 or alpha_tail > 1.3) and ts[-1] > 1.0
-            ),
-        }
-    if only and out_path.exists():
-        # merge mode: keep every previously measured row, overwrite the
-        # re-measured names (scale-point equality was checked up front)
-        prior = json.loads(out_path.read_text())
-        assert prior["sfs"] == sfs, (prior["sfs"], sfs)
-        rows = {**prior["queries"], **rows}
+    rows = {n: _fit_row(results[n], n_runs) for n in HEADLINE}
+    seed: dict[str, dict] = {}
+    seed_src = (
+        out_path
+        if only and out_path.exists()
+        else carry_path
+        if carry_path and carry_path.exists()
+        else None
+    )
+    if seed_src is not None:
+        prior = json.loads(seed_src.read_text())
+        prior_default_runs = prior.get("n_runs", n_runs)
+        for n, row in prior["queries"].items():
+            # v1 rows have no per-row n_runs: backfill the artifact-wide
+            # value they were actually measured under (round-7 advice)
+            seed[n] = {**row, "n_runs": row.get("n_runs", prior_default_runs)}
+    # carried rows keep their recorded points/n_runs; re-measured names
+    # overwrite
+    rows = {**seed, **rows}
     out = {
+        "schema": 2,
         "sfs": sfs,
         "n_runs": n_runs,
+        "tier": sorted(tier),
+        "tier_sfs": sorted(_sf_of(d) for d in tier_dirs),
         "queries": rows,
         "flagged": sorted(n for n, r in rows.items() if r["flag"]),
     }

@@ -2,10 +2,14 @@
 
 The driver parses bench.py's single stdout line into BENCH_r{N}.json, so
 the protocol's two moving parts — the compact-line contract and the
-round-7 drift-breach auto-retry — get deterministic pins here. Real
-sleeps stand in for query time; the mid-run contention step is keyed off
-the TIMED phase having run (not call indices), so the pin holds no
-matter how many settle probes the box's own jitter costs.
+round-7 drift-breach auto-retry — get deterministic pins here. Query
+time is driven by a VIRTUAL clock (bench's ``time.perf_counter`` is
+monkeypatched and the fake DataFrames advance it exactly), not real
+sleeps: this box's speed wanders 2-4x (BENCH protocol exists BECAUSE of
+that), so a pin built on real sub-second sleeps would flake on the very
+contention it's testing for (round-7 advice). The mid-run contention
+step is keyed off the TIMED phase having run (not call indices), so the
+pin holds no matter how many settle probes the protocol spends.
 """
 
 from __future__ import annotations
@@ -20,28 +24,43 @@ sys.path.insert(0, str(REPO))
 import bench  # noqa: E402
 
 
+class _VirtualClock:
+    """Deterministic stand-in for bench's ``time`` module: fake queries
+    advance it by their exact duration, ``perf_counter`` reads it."""
+
+    def __init__(self) -> None:
+        self.now = 0.0
+
+    def perf_counter(self) -> float:
+        return self.now
+
+    def advance(self, seconds: float) -> None:
+        self.now += seconds
+
+
 class _FakeDF:
-    def __init__(self, seconds: float):
+    def __init__(self, clock: _VirtualClock, seconds: float):
+        self._clock = clock
         self._seconds = seconds
 
     def count(self) -> int:
-        import time
-
-        time.sleep(self._seconds)
+        self._clock.advance(self._seconds)
         return 1
 
 
 class _FakeQuery:
     """Registry stand-in whose runtime is a callable of global state."""
 
-    def __init__(self, duration_fn):
+    def __init__(self, clock: _VirtualClock, duration_fn):
+        self._clock = clock
         self._duration_fn = duration_fn
 
     def fn(self, spark, sf_dir) -> _FakeDF:
-        return _FakeDF(self._duration_fn())
+        return _FakeDF(self._clock, self._duration_fn())
 
 
-def _run_bench(monkeypatch, tmp_path, registry, headline, controls):
+def _run_bench(monkeypatch, tmp_path, clock, registry, headline, controls):
+    monkeypatch.setattr(bench, "time", clock)  # virtual perf_counter
     monkeypatch.setattr(bench, "REGISTRY", registry)
     monkeypatch.setattr(bench, "HEADLINE", headline)
     monkeypatch.setattr(bench, "CONTROLS", controls)
@@ -57,6 +76,7 @@ def test_drift_breach_triggers_exactly_one_retry(monkeypatch, tmp_path, capsys):
     at the drift endpoint than at settle time) must re-run the whole pass
     once; the emitted pass sees the slow-but-steady box (≈0 drift) and
     discloses drift_retries=1 plus the discarded pass's evidence."""
+    clock = _VirtualClock()
     h1_calls = {"n": 0}
 
     def headline_duration():
@@ -71,15 +91,16 @@ def test_drift_breach_triggers_exactly_one_retry(monkeypatch, tmp_path, capsys):
         return 0.16 if h1_calls["n"] >= 2 else 0.08
 
     registry = {
-        "c1": _FakeQuery(control_duration),
-        "h1": _FakeQuery(headline_duration),
+        "c1": _FakeQuery(clock, control_duration),
+        "h1": _FakeQuery(clock, headline_duration),
     }
-    _run_bench(monkeypatch, tmp_path, registry, ["c1", "h1"], ["c1"])
+    _run_bench(monkeypatch, tmp_path, clock, registry, ["c1", "h1"], ["c1"])
 
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["controls"]["drift_retries"] == 1
     # the emitted pass is the steady one: both endpoints on the slow box
-    assert abs(out["controls"]["mean_drift_pct"]) <= 25.0
+    # read identical virtual durations, so drift is exactly 0
+    assert abs(out["controls"]["mean_drift_pct"]) <= 1e-9
     assert out["sf"] == 0.5
     assert set(out["queries"]) == {"c1", "h1"}
 
@@ -87,18 +108,20 @@ def test_drift_breach_triggers_exactly_one_retry(monkeypatch, tmp_path, capsys):
     assert len(blob["discarded_passes"]) == 1
     discarded = blob["discarded_passes"][0]
     # the discarded pass must carry the breach that triggered the retry
-    assert discarded["mean_drift_pct"] > 10.0
+    # (0.08 → 0.16 is exactly +100% on the virtual clock)
+    assert discarded["mean_drift_pct"] > 90.0
     assert set(discarded["samples"]) == {"c1", "h1"}
 
 
 def test_steady_box_emits_single_pass(monkeypatch, tmp_path, capsys):
     """Constant-duration queries: no breach, no retry, settled=True, and
     the compact line carries every field the driver's capture parses."""
+    clock = _VirtualClock()
     registry = {
-        "c1": _FakeQuery(lambda: 0.08),
-        "h1": _FakeQuery(lambda: 0.01),
+        "c1": _FakeQuery(clock, lambda: 0.08),
+        "h1": _FakeQuery(clock, lambda: 0.01),
     }
-    _run_bench(monkeypatch, tmp_path, registry, ["c1", "h1"], ["c1"])
+    _run_bench(monkeypatch, tmp_path, clock, registry, ["c1", "h1"], ["c1"])
 
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["controls"]["drift_retries"] == 0

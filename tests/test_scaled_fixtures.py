@@ -127,3 +127,40 @@ def test_embedding_shift_is_orthogonal(spark, scaled_dir):
             assert dot0 == pytest.approx(dot1, rel=1e-6), (a, b)
             checked += 1
     assert checked > 0
+
+
+def test_clone_transforms_collision_free_to_k100():
+    """Round-8 extension to k=100 (sf10 scale point): the per-clone text
+    permutations must be pairwise-distinct derangements for every clone
+    index the sweep can use (rotation, the round-7 transform, repeated at
+    period 26 — clone 26 carried text identical to clone 0, so at k=100
+    each doc had ~3 exact cross-clone twins and the dedup tier's curve
+    measured data duplication, not the engine). Same for the signed
+    embedding shift: the (shift, sign-pattern) pair must be unique per
+    clone (the plain shift repeats at period 64). Pure driver-side, no
+    Spark."""
+    import random
+
+    from scripts.make_scaled_fixtures import _clone_permutation
+
+    perms = {}
+    for i in range(1, 101):
+        p = _clone_permutation(i)
+        lo = p[:26]
+        # derangement over a-z (uppercase half mirrors it by construction)
+        assert all(c != o for c, o in zip(lo, "abcdefghijklmnopqrstuvwxyz")), i
+        assert sorted(lo) == sorted("abcdefghijklmnopqrstuvwxyz"), i
+        perms[i] = p
+    assert len(set(perms.values())) == 100, "duplicate clone permutations"
+    # deterministic across calls (fixtures must be reproducible)
+    assert _clone_permutation(37) == perms[37]
+
+    dim = 64
+    sigs = set()
+    for i in range(1, 101):
+        s = (i * 7) % dim
+        signs = tuple(
+            random.Random((i << 20) + j).choice((1.0, -1.0)) for j in range(dim)
+        )
+        sigs.add((s, signs))
+    assert len(sigs) == 100, "duplicate (shift, sign-pattern) clone transforms"

@@ -48,11 +48,44 @@ def test_scaling_curves_cover_headline_set_with_no_superlinear_flags():
     assert data["sfs"][-1] / data["sfs"][0] >= 10
     missing = [n for n in HEADLINE if n not in data["queries"]]
     assert not missing, f"headline queries with no scaling curve: {missing}"
+    base = {f"{s:g}" for s in data["sfs"]}
+    schema = data.get("schema", 1)
     for name, row in data["queries"].items():
-        assert len(row["sec_by_sf"]) == len(data["sfs"]), name
+        if schema >= 2:
+            # v2: rows carry their OWN point set — every row covers at
+            # least the base points; tier rows may extend beyond them
+            assert base <= set(row["sec_by_sf"]), name
+            assert row.get("n_runs", 0) >= 3, name
+        else:
+            assert len(row["sec_by_sf"]) == len(data["sfs"]), name
         assert all(t > 0 for t in row["sec_by_sf"].values()), name
     assert data["flagged"] == [], (
         f"superlinear queries flagged in {_latest_scaling_artifact().name}: "
         f"{data['flagged']} — fix the plan (or its declared complexity) "
         f"before re-recording the artifact"
     )
+
+
+def test_scaling_v2_tier_extends_one_decade():
+    """Round-8 pin (VERDICT r7, task 2): the scale-critical tier — every
+    round-7 row with tail alpha > 0.6, plus q21 — must carry a scale
+    point at least 3x beyond the base sweep's largest (the sf3→sf10 leg
+    is the first honest asymptotic read: at sf3 the fact-fact tier was
+    just entering the data-dominated regime)."""
+    data = json.loads(_latest_scaling_artifact().read_text())
+    if data.get("schema", 1) < 2:
+        import pytest
+
+        pytest.skip("pre-v2 artifact (round 7); pin applies from round 8 on")
+    tier = data["tier"]
+    assert len(tier) >= 10, tier
+    base_max = data["sfs"][-1]
+    assert data["tier_sfs"], "tier extension ran with no extra scale dir"
+    assert max(data["tier_sfs"]) >= 3 * base_max, data["tier_sfs"]
+    for name in tier:
+        row = data["queries"][name]
+        pts = sorted(float(s) for s in row["sec_by_sf"])
+        assert pts[-1] >= 3 * base_max, (name, pts)
+        # the tier's whole point is the asymptotic read: its tail
+        # exponent must sit under the superlinear flag threshold
+        assert row["alpha_tail"] <= 1.3, (name, row["alpha_tail"])

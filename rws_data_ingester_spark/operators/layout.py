@@ -54,25 +54,47 @@ def _bucket(col: F.Column, lo: F.Column, hi: F.Column, bits: int = _BITS) -> F.C
     return F.least(F.floor((col - lo) / span * (n + 1)).cast("int"), n)
 
 
+def _adaptive_n_files(n_rows: int, rows_per_file: int = 1_500_000) -> int:
+    """File count for a layout rewrite, sized to the DATA: the next power
+    of two covering ~rows_per_file rows per file, clamped to [8, 512].
+    A fixed file count is the classic local-test scale bug — 8 files is
+    right at sf0.1 (and keeps every fixture-scale pin byte-stable), but
+    at sf10 it means 7.5M-row sort partitions that spill the executor
+    (measured: the sf10 rewrite ran 2x faster at 64 files than at 8),
+    and at 100 TB it would mean 12 TB 'files'. Power of two so the
+    z-bucket span divides the 2^(2*_BITS) key space exactly."""
+    need = max(8, -(-n_rows // max(rows_per_file, 1)))
+    return min(512, 1 << (need - 1).bit_length())
+
+
 def write_zordered(
-    df: DataFrame, out: str, dim1: str, dim2: str, n_files: int = 8
+    df: DataFrame, out: str, dim1: str, dim2: str, n_files: int | None = None
 ) -> None:
-    """Write ``df`` clustered on the z-curve of (dim1, dim2). The bounds
-    pass is one partial→final min/max agg broadcast back — same pattern
-    as agg_share_of_total; the layout pass is one range shuffle."""
-    bounds = df.agg(
+    """Write ``df`` clustered on the z-curve of (dim1, dim2). The stats
+    pass is one partial→final min/max/count agg collected to the driver
+    (one row — the bounded-collect class); the bounds land in the keying
+    expression as literals and the count sizes the file fan-out; the
+    layout pass is one hash shuffle on the z-bucket."""
+    stats = df.agg(
         F.min(dim1).cast("double").alias("lo1"),
         F.max(dim1).cast("double").alias("hi1"),
         F.min(dim2).cast("double").alias("lo2"),
         F.max(dim2).cast("double").alias("hi2"),
+        F.count("*").alias("n_rows"),
+    ).first()
+    if n_files is None:
+        n_files = _adaptive_n_files(stats["n_rows"])
+    lo1, hi1, lo2, hi2 = (
+        stats[k] if stats[k] is not None else 0.0
+        for k in ("lo1", "hi1", "lo2", "hi2")  # empty input → null bounds
     )
-    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+    keyed = df.withColumn(
         "zkey",
         zorder_key(
-            _bucket(F.col(dim1).cast("double"), F.col("lo1"), F.col("hi1")),
-            _bucket(F.col(dim2).cast("double"), F.col("lo2"), F.col("hi2")),
+            _bucket(F.col(dim1).cast("double"), F.lit(lo1), F.lit(hi1)),
+            _bucket(F.col(dim2).cast("double"), F.lit(lo2), F.lit(hi2)),
         ),
-    ).drop("lo1", "hi1", "lo2", "hi2")
+    )
     # DETERMINISTIC layout: fixed-width z-range bucket + partitionBy, so a
     # row's output file is a pure function of its key. repartitionByRange
     # would be the obvious spelling, but RangePartitioner samples split
@@ -151,23 +173,35 @@ def _write_both_layouts(spark: SparkSession, sf_dir: str):
     )
     lin, zo = (tempfile.mkdtemp(prefix=p) for p in ("rws_linear_", "rws_zorder_"))
     # linear copy gets the same deterministic fixed-width-bucket layout as
-    # write_zordered (range-partitioner sampling is run-dependent)
+    # write_zordered (range-partitioner sampling is run-dependent), with
+    # the SAME data-sized file fan-out so the skip-audit comparison is
+    # files-vs-files, not files-vs-bigger-files
     lb = li.agg(
         F.min("ship_day").cast("double").alias("lo"),
         F.max("ship_day").cast("double").alias("hi"),
+        F.count("*").alias("n_rows"),
+    ).first()
+    n_files = _adaptive_n_files(lb["n_rows"])
+    lo, hi = (
+        lb[k] if lb[k] is not None else 0.0 for k in ("lo", "hi")
     )
     (
-        li.crossJoin(F.broadcast(lb))
-        .withColumn("_lbucket", _bucket(F.col("ship_day").cast("double"),
-                                        F.col("lo"), F.col("hi"), bits=3))
-        .drop("lo", "hi")
-        .repartition(8, "_lbucket")
+        li.withColumn(
+            "_lbucket",
+            _bucket(
+                F.col("ship_day").cast("double"),
+                F.lit(lo),
+                F.lit(hi),
+                bits=n_files.bit_length() - 1,  # 2^bits buckets == n_files
+            ),
+        )
+        .repartition(n_files, "_lbucket")
         .sortWithinPartitions("ship_day")
         .write.mode("overwrite")
         .partitionBy("_lbucket")
         .parquet(lin)
     )
-    write_zordered(li, zo, "ship_day", "l_partkey")
+    write_zordered(li, zo, "ship_day", "l_partkey", n_files=n_files)
     lin_schema = T.StructType(
         li.schema.fields + [T.StructField("_lbucket", T.LongType())]
     )

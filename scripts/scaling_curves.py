@@ -14,10 +14,23 @@ Instrument design — the measurement must isolate WORK growth:
   Measuring the driver's single-file sf0.1 fixtures against multi-file
   clones inverted the curve (10x data, 1.8x FASTER — the 1x scan ran on
   one task, the 10x scan on twenty).
-- The session is a FIXED local[8] with shuffle.partitions=8 and every
-  table written as >=8 files, so all scale points saturate the same
-  cores and wall time tracks total work instead of free parallelism —
-  the regime a 1000-executor cluster is in once data outgrows it.
+- The session is a FIXED local[8] and every table written as >=8 files,
+  so all scale points saturate the same cores and wall time tracks total
+  work instead of free parallelism — the regime a 1000-executor cluster
+  is in once data outgrows it.
+- shuffle.partitions scales with the scale point (8 x sf/base_sf —
+  instrument v2.1, round 8). It is AQE's INITIAL partition count: pinned
+  at 8 (the round-7 protocol) AQE can only coalesce, never split, so at
+  sf10 every shuffle partition holds 12.5x the bytes a production job
+  would allow and sort/agg-heavy rows cross the executor memory cliff —
+  measured: q21 at sf10 logged TaskMemoryManager allocation failures and
+  ran ~20% slower at 8 partitions than at 80, and the zorder rewrite ran
+  2x slower. Scaling the initial count lets AQE size partitions to its
+  byte target at every point (per-partition bytes CONSTANT across the
+  sweep — exactly how a real cluster holds its regime as data grows),
+  so the fitted exponent measures work growth, not spill onset. Cores
+  stay fixed; task-scheduling overhead grows ~linearly and is part of
+  the honest cost.
 
 Protocol (mirrors bench.py's): per scale point, one untimed warm-up pass
 over every query first (codegen/JIT compile out of the medians), then
@@ -233,10 +246,21 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     results: dict[str, dict[str, float]] = {n: {} for n in HEADLINE}
+    all_sfs = sorted(_sf_of(d) for d in dirs + tier_dirs)
+    base_sf = all_sfs[0]
     for d in dirs + tier_dirs:
         sf = _sf_of(d)
+        # instrument v2.1: per-partition bytes constant across the sweep
+        # (see module docstring) — AQE's initial partition count grows
+        # with the data, cores stay fixed
+        parts = max(int(cores), round(int(cores) * sf / base_sf))
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         names = HEADLINE if d in dirs else [n for n in tier if n in HEADLINE]
-        print(f"== scale point sf={sf} ({d}, {len(names)} queries) ==", flush=True)
+        print(
+            f"== scale point sf={sf} ({d}, {len(names)} queries, "
+            f"shuffle.partitions={parts}) ==",
+            flush=True,
+        )
         for n in names:  # warm-up pass, untimed
             run_once(n, d)
         for n in names:
@@ -267,6 +291,11 @@ def main() -> None:
     rows = {**seed, **rows}
     out = {
         "schema": 2,
+        # rows measured THIS run use the v2.1 per-partition-bytes-constant
+        # protocol (shuffle.partitions = cores x sf/base_sf, AQE sizes by
+        # bytes); rows carried from a v1 artifact were measured under the
+        # round-7 fixed-8 protocol
+        "protocol": "v2.1-pp-const",
         "sfs": sfs,
         "n_runs": n_runs,
         "tier": sorted(tier),

@@ -31,6 +31,12 @@ Instrument design — the measurement must isolate WORK growth:
   so the fitted exponent measures work growth, not spill onset. Cores
   stay fixed; task-scheduling overhead grows ~linearly and is part of
   the honest cost.
+- A control probe (instrument v2.2) runs the SAME query on the SAME
+  base-point data before every scale point; its per-point medians land
+  in the artifact (band-legibility) and a spread past
+  SPARK_GRAFT_SCALE_CONTROL_GATE (default 1.4x) refuses the whole pass
+  — this sandbox's speed wanders 2-4x, and one sweep shipped sf3 > sf10
+  rows before this existed.
 
 Protocol (mirrors bench.py's): per scale point, one untimed warm-up pass
 over every query first (codegen/JIT compile out of the medians), then
@@ -248,17 +254,52 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {n: {} for n in HEADLINE}
     all_sfs = sorted(_sf_of(d) for d in dirs + tier_dirs)
     base_sf = all_sfs[0]
-    for d in dirs + tier_dirs:
+    # Per-point control probe (instrument v2.2 — the bench.py lesson,
+    # re-learned here the hard way: one sweep shipped sf3 > sf10 rows
+    # because this sandbox's speed wandered 2-4x mid-pass). The SAME
+    # fixed query on the SAME base-point data runs before every scale
+    # point; any cross-point spread in its medians is the BOX, not the
+    # engine, and a spread past the gate means the pass's exponents mix
+    # contention into the curve — refuse to write the artifact.
+    control_name = os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "q1_pricing_summary")
+    if control_name not in REGISTRY:
+        raise SystemExit(f"unknown control query: {control_name}")
+    control_gate = float(os.environ.get("SPARK_GRAFT_SCALE_CONTROL_GATE", "1.4"))
+    controls: dict[str, float] = {}
+
+    def control_median() -> float:
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(cores)))
+        return sorted(run_once(control_name, dirs[0]) for _ in range(3))[1]
+
+    # Settle phase (the bench.py protocol): the first minutes after a
+    # fresh JVM + a just-killed predecessor read slow (observed: a first
+    # control of 0.906 s against 0.35-0.42 s at every later point, which
+    # tripped the gate on an otherwise-clean pass). Probe until two
+    # consecutive control medians agree within 15% before measuring.
+    run_once(control_name, dirs[0])  # untimed warm-up
+    prev = control_median()
+    for _ in range(5):
+        cur = control_median()
+        if abs(cur - prev) / max(prev, 1e-3) <= 0.15:
+            break
+        print(f"settling: control {prev}s -> {cur}s", flush=True)
+        prev = cur
+
+    def measure_point(d: str, attempt: int = 1) -> None:
         sf = _sf_of(d)
         # instrument v2.1: per-partition bytes constant across the sweep
         # (see module docstring) — AQE's initial partition count grows
         # with the data, cores stay fixed
         parts = max(int(cores), round(int(cores) * sf / base_sf))
-        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         names = HEADLINE if d in dirs else [n for n in tier if n in HEADLINE]
+        # control probe: base data, base partitioning, before the point
+        ctrl = control_median()
+        controls[f"{sf:g}"] = ctrl
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         print(
             f"== scale point sf={sf} ({d}, {len(names)} queries, "
-            f"shuffle.partitions={parts}) ==",
+            f"shuffle.partitions={parts}, control={ctrl}s, "
+            f"attempt={attempt}) ==",
             flush=True,
         )
         for n in names:  # warm-up pass, untimed
@@ -268,6 +309,42 @@ def main() -> None:
             med = samples[len(samples) // 2]
             results[n][f"{sf:g}"] = med
             print(f"  {n}: {med}s {samples}", flush=True)
+
+    for d in dirs + tier_dirs:
+        measure_point(d)
+
+    # Per-point contention retry (surgical version of bench.py's whole-
+    # pass drift retry): a point whose control deviates past the gate
+    # from the PASS MEDIAN control was measured on a wandering box — its
+    # rows would bend the curve — so that point alone is re-measured
+    # once. Still breaching after the retry → refuse the artifact.
+    med_ctrl = sorted(controls.values())[len(controls) // 2]
+    for d in dirs + tier_dirs:
+        sf_key = f"{_sf_of(d):g}"
+        ratio = controls[sf_key] / max(med_ctrl, 1e-3)
+        if max(ratio, 1 / max(ratio, 1e-9)) > control_gate:
+            print(
+                f"point sf={sf_key} control {controls[sf_key]}s deviates "
+                f"{ratio:.2f}x from pass median {med_ctrl}s — re-measuring "
+                f"that point once",
+                flush=True,
+            )
+            measure_point(d, attempt=2)
+    med_ctrl = sorted(controls.values())[len(controls) // 2]
+    bad = {
+        k: v
+        for k, v in controls.items()
+        if max(v / max(med_ctrl, 1e-3), med_ctrl / max(v, 1e-3)) > control_gate
+    }
+    if bad:
+        raise SystemExit(
+            f"contended pass refused: control query {control_name} medians "
+            f"{controls} — points {sorted(bad)} still deviate past the "
+            f"{control_gate}x gate from the pass median after one retry; "
+            f"the box wandered mid-sweep, so the exponents would mix "
+            f"contention into the curve; artifact NOT written, re-run when "
+            f"the box settles"
+        )
 
     sfs = sorted(_sf_of(d) for d in dirs)
     rows = {n: _fit_row(results[n], n_runs) for n in HEADLINE}
@@ -295,7 +372,12 @@ def main() -> None:
         # protocol (shuffle.partitions = cores x sf/base_sf, AQE sizes by
         # bytes); rows carried from a v1 artifact were measured under the
         # round-7 fixed-8 protocol
-        "protocol": "v2.1-pp-const",
+        "protocol": "v2.2-pp-const-controlled",
+        # per-point control medians (same query, same base data, base
+        # partitioning): band-legibility for the whole pass — a reader
+        # can see the box was steady without trusting the gate
+        "controls": controls,
+        "control_query": control_name,
         "sfs": sfs,
         "n_runs": n_runs,
         "tier": sorted(tier),

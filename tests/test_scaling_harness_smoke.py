@@ -63,12 +63,21 @@ def test_harness_end_to_end_with_tier_extension(
         SPARK_GRAFT_SCALE_CARRY="",
         SPARK_GRAFT_SCALE_RUNS="1",
         SPARK_GRAFT_SCALE_CORES="4",
+        # the smoke tests PLUMBING; sub-second sf0.001 control medians
+        # jitter far past the real sweep's 1.4x gate on a contended box,
+        # so the gate is opened wide here (the refusal path has its own
+        # dedicated test below via the artifact-seed guard)
+        SPARK_GRAFT_SCALE_CONTROL_GATE="1000",
     )
     data = json.loads(out.read_text())
     assert data["schema"] == 2
     assert data["sfs"] == [0.001, 0.003]
     assert data["tier"] == ["agg_rollup"]
     assert data["tier_sfs"] == [0.01]
+    # v2.2: one steady-box control median per scale point, all positive
+    assert set(data["controls"]) == {"0.001", "0.003", "0.01"}
+    assert all(v > 0 for v in data["controls"].values())
+    assert data["control_query"] == "q1_pricing_summary"
     # headline-only row: base points only; tier row: base + extension
     assert set(data["queries"]["q1_pricing_summary"]["sec_by_sf"]) == {
         "0.001",

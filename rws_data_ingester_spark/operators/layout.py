@@ -84,6 +84,12 @@ def write_zordered(
     ).first()
     if n_files is None:
         n_files = _adaptive_n_files(stats["n_rows"])
+    elif n_files < 1 or n_files & (n_files - 1):
+        # span = 2^(2*_BITS) // n_files below only tiles the key space
+        # exactly for power-of-two fan-outs; a non-power-of-two makes
+        # floor(zkey/span) reach n_files, i.e. one extra _zbucket
+        # directory beyond the requested count (round-8 ADVICE)
+        raise ValueError(f"n_files must be a power of two, got {n_files}")
     lo1, hi1, lo2, hi2 = (
         stats[k] if stats[k] is not None else 0.0
         for k in ("lo1", "hi1", "lo2", "hi2")  # empty input → null bounds

@@ -514,17 +514,87 @@ ROUND9_WINDOW = (
 )
 assert len(ROUND9_WINDOW) == 50, len(ROUND9_WINDOW)
 
-# The window the driver's 50-slot gate sees THIS round. Round 8 flips to
-# the staged ROUND8_WINDOW (CORRECTNESS_r07: 50/50 clean — 48 oracle
-# hash-green + 2 rows-only codec queries at design row counts): the
-# freshness rotation re-proves the round-4 vintage — the 22 TPC-H
-# composites, the full join matrix, the connector round-trips — which
-# after r7 is the oldest evidence in the ledger (age 4, at the gate
-# boundary), plus the displaced round-4 head agg_bool and the
-# alphabetically-first round-5 head agg_approx_distinct_bounds. After
-# this lands, no evidence anywhere is older than round 5 (within the
-# 4-round gate). COVERAGE.md keeps the vintage ledger.
-_ACTIVE_WINDOW = ROUND8_WINDOW
+# Staged for round 10 (flip once CORRECTNESS_r09 lands): after round 9
+# re-proves the round-5 vintage, the oldest evidence remaining is the
+# 44 round-6-vintage queries not already re-proven by ROUND9 (the
+# scalar-function family, window family, minhash/simhash/jaccard dedup,
+# multimodal metadata tier, text-analysis tier, batch stream twins)
+# plus sink_zorder_pruning — pulled forward per VERDICT r8 task 5
+# because the r8 layout.py fan-out change (_adaptive_n_files) postdates
+# its last driver check (r7) — and the 5 alphabetically-first
+# round-7-vintage heads (44 + 1 + 5 = 50). Recomputed from
+# ∪CORRECTNESS_r*.json through r08 per the COVERAGE.md policy (vintage
+# distribution after r09: 44×r6 + 50×r7 + 50×r8 + 50×r9);
+# well-formedness pinned by
+# tests/test_oracle_parity.py::test_round10_staged_window_is_well_formed.
+ROUND10_WINDOW = (
+    # r8-touched layout query, driver vintage r7 (1; VERDICT r8 task 5)
+    "sink_zorder_pruning",
+    # round-6 vintage remainder (44)
+    "dedup_jaccard_pairs",
+    "dedup_minhash_candidates",
+    "dedup_simhash",
+    "funnel_signup_click_purchase",
+    "join_asof_last_click",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_metadata",
+    "multimodal_resize",
+    "pipeline_corpus_clean",
+    "pipeline_embedding_dedup",
+    "pipeline_embedding_dedup_lsh",
+    "pipeline_pack_sequences",
+    "scalar_array_funcs",
+    "scalar_collection_hash_funcs",
+    "scalar_datetime_funcs",
+    "scalar_explode_funcs",
+    "scalar_math_funcs",
+    "scalar_string_conditional_funcs",
+    "scalar_string_funcs",
+    "session_window_islands",
+    "session_window_native",
+    "set_intersect_all",
+    "simsearch_lsh_buckets",
+    "simsearch_topk_exact_np",
+    "simsearch_topk_ivf",
+    "simsearch_topk_lsh",
+    "sink_compaction",
+    "sliding_window_counts",
+    "source_json_corrupt_records",
+    "source_schema_evolution",
+    "stream_static_join",
+    "text_fingerprint",
+    "text_langid_heuristic",
+    "text_stats_by_lang",
+    "text_stopword_ratio",
+    "text_tfidf",
+    "text_token_topk",
+    "tumbling_window_hourly",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_running",
+    "window_share_of_group",
+    "window_topk_per_group",
+    # round-7 vintage heads, alphabetically first (5)
+    "agg_basic",
+    "cogroup_click_attribution",
+    "cohort_retention",
+    "data_quality_audit",
+    "dedup_paragraphs",
+)
+assert len(ROUND10_WINDOW) == 50, len(ROUND10_WINDOW)
+
+# The window the driver's 50-slot gate sees THIS round. Round 9 flips to
+# the staged ROUND9_WINDOW (CORRECTNESS_r08: 50/50 clean — every window
+# query rows+schema+hash green): the freshness rotation re-proves the
+# round-5 vintage — the set-op/pivot/subquery family, simsearch_topk_exact,
+# the rows-only heavies (training funnel, PQ, BPE, reservoir, stateful
+# streaming, codec round-trips) — which after r8 is the oldest evidence
+# in the ledger (age 4, at the gate boundary), plus the 6
+# alphabetically-first round-6 heads. After this lands, no evidence
+# anywhere is older than round 6 (within the 4-round gate). COVERAGE.md
+# keeps the vintage ledger.
+_ACTIVE_WINDOW = ROUND9_WINDOW
 
 _missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
 assert not _missing, f"active window names not registered: {_missing}"

@@ -164,6 +164,18 @@ def _shift_embedding(col: F.Column, i: int, dim: int) -> F.Column:
     )
 
 
+def _match_element_type(col: F.Column, source_type) -> F.Column:
+    """Cast a derived array column back to the source's exact array type.
+    The ±1.0 sign literals in ``_shift_embedding`` are Python floats →
+    DoubleType, so zip_with's product widens array<float> to
+    array<double> for every clone i>=1 while clone 0 keeps the source
+    type — unionByName then coerces the whole column to double for k>=2,
+    a 2x per-row byte skew vs the k=1 warehouse that violates the
+    same-generator premise of the scaling instrument (round-8 ADVICE,
+    medium)."""
+    return col.cast(source_type)
+
+
 def clone_table(df: DataFrame, name: str, k: int, emb_dim: int | None) -> DataFrame:
     """Union of k id-offset clones of one source table."""
     parts = []
@@ -175,7 +187,11 @@ def clone_table(df: DataFrame, name: str, k: int, emb_dim: int | None) -> DataFr
             cur = cur.withColumn("text", _rot_text(F.col("text"), i))
         if name == "embeddings" and emb_dim:
             cur = cur.withColumn(
-                "embedding", _shift_embedding(F.col("embedding"), i, emb_dim)
+                "embedding",
+                _match_element_type(
+                    _shift_embedding(F.col("embedding"), i, emb_dim),
+                    df.schema["embedding"].dataType,
+                ),
             )
         parts.append(cur)
     out = parts[0]

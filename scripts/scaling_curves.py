@@ -292,6 +292,15 @@ def main() -> None:
         # with the data, cores stay fixed
         parts = max(int(cores), round(int(cores) * sf / base_sf))
         names = HEADLINE if d in dirs else [n for n in tier if n in HEADLINE]
+        if not names:
+            # e.g. SCALE_ONLY of non-tier names while the sf10 tier dir
+            # exists: the point contributes zero measurements, so probing
+            # its control (and letting it trigger a retry or refuse the
+            # pass) would gate the artifact on a point that isn't in it
+            # (round-8 ADVICE).
+            print(f"== scale point sf={sf} ({d}): no queries, skipped ==",
+                  flush=True)
+            return
         # control probe: base data, base partitioning, before the point
         ctrl = control_median()
         controls[f"{sf:g}"] = ctrl
@@ -321,6 +330,8 @@ def main() -> None:
     med_ctrl = sorted(controls.values())[len(controls) // 2]
     for d in dirs + tier_dirs:
         sf_key = f"{_sf_of(d):g}"
+        if sf_key not in controls:  # point skipped (no queries)
+            continue
         ratio = controls[sf_key] / max(med_ctrl, 1e-3)
         if max(ratio, 1 / max(ratio, 1e-9)) > control_gate:
             print(
@@ -346,9 +357,18 @@ def main() -> None:
             f"the box settles"
         )
 
+    PROTOCOL = "v2.2-pp-const-controlled"
     sfs = sorted(_sf_of(d) for d in dirs)
-    rows = {n: _fit_row(results[n], n_runs) for n in HEADLINE}
+    # rows measured THIS run are stamped with the current protocol
+    # per-row (round-8 ADVICE: a single top-level protocol misattributed
+    # carried v1 rows to the new protocol with no way to tell which
+    # rows mixed protocols)
+    rows = {
+        n: {**_fit_row(results[n], n_runs), "protocol": PROTOCOL}
+        for n in HEADLINE
+    }
     seed: dict[str, dict] = {}
+    prior: dict = {}
     seed_src = (
         out_path
         if only and out_path.exists()
@@ -359,29 +379,55 @@ def main() -> None:
     if seed_src is not None:
         prior = json.loads(seed_src.read_text())
         prior_default_runs = prior.get("n_runs", n_runs)
+        # v1 artifacts (schema 1, no protocol field) were measured under
+        # the round-7 fixed-8-partition protocol
+        prior_protocol = prior.get("protocol", "v1-fixed-parts")
         for n, row in prior["queries"].items():
             # v1 rows have no per-row n_runs: backfill the artifact-wide
-            # value they were actually measured under (round-7 advice)
-            seed[n] = {**row, "n_runs": row.get("n_runs", prior_default_runs)}
-    # carried rows keep their recorded points/n_runs; re-measured names
-    # overwrite
+            # value they were actually measured under (round-7 advice);
+            # same for the per-row protocol + provenance marker
+            seed[n] = {
+                **row,
+                "n_runs": row.get("n_runs", prior_default_runs),
+                "protocol": row.get("protocol", prior_protocol),
+                "carried_from": row.get("carried_from", seed_src.name),
+            }
+    # carried rows keep their recorded points/n_runs/protocol;
+    # re-measured names overwrite
     rows = {**seed, **rows}
+    # merge mode measures a SUBSET: top-level tier/tier_sfs/controls must
+    # union with the seed artifact's, not replace them — SCALE_ONLY of
+    # one non-tier name used to rewrite tier to near-empty and fail the
+    # tier-extension pin on an otherwise-valid merged artifact
+    # (round-8 ADVICE)
+    out_tier = sorted(set(tier) | set(prior.get("tier", []))) if only else sorted(tier)
+    run_tier_sfs = sorted(_sf_of(d) for d in tier_dirs)
+    out_tier_sfs = (
+        sorted(set(run_tier_sfs) | set(prior.get("tier_sfs", [])))
+        if only
+        else run_tier_sfs
+    )
+    out_controls = (
+        {**prior.get("controls", {}), **controls} if only else controls
+    )
     out = {
         "schema": 2,
-        # rows measured THIS run use the v2.1 per-partition-bytes-constant
-        # protocol (shuffle.partitions = cores x sf/base_sf, AQE sizes by
-        # bytes); rows carried from a v1 artifact were measured under the
-        # round-7 fixed-8 protocol
-        "protocol": "v2.2-pp-const-controlled",
+        # the protocol rows measured THIS run used (v2.1 per-partition-
+        # bytes-constant: shuffle.partitions = cores x sf/base_sf, AQE
+        # sizes by bytes); per-row `protocol` is authoritative for
+        # carried rows
+        "protocol": PROTOCOL,
         # per-point control medians (same query, same base data, base
         # partitioning): band-legibility for the whole pass — a reader
-        # can see the box was steady without trusting the gate
-        "controls": controls,
+        # can see the box was steady without trusting the gate. In merge
+        # mode, points not re-probed this run keep the seed artifact's
+        # control values.
+        "controls": out_controls,
         "control_query": control_name,
         "sfs": sfs,
         "n_runs": n_runs,
-        "tier": sorted(tier),
-        "tier_sfs": sorted(_sf_of(d) for d in tier_dirs),
+        "tier": out_tier,
+        "tier_sfs": out_tier_sfs,
         "queries": rows,
         "flagged": sorted(n for n, r in rows.items() if r["flag"]),
     }

@@ -358,6 +358,33 @@ def test_round9_staged_window_is_well_formed():
     assert not never, f"round-9 slots on never-evidenced queries (use a dark-tier window): {never}"
 
 
+def test_round10_staged_window_is_well_formed():
+    """ROUND10_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
+    after CORRECTNESS_r09): 50 registered names, no overlap with the
+    round-9 window, and every slot continues the freshness rotation —
+    at staging time (evidence through r08) each slot's latest driver row
+    is round-6/7 vintage, i.e. the oldest evidence remaining once the
+    round-9 window re-proves the round-5 tier. sink_zorder_pruning is
+    pulled forward deliberately (VERDICT r8 task 5): the r8 layout.py
+    fan-out change postdates its last driver check."""
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND9_WINDOW, ROUND10_WINDOW
+
+    assert len(ROUND10_WINDOW) == 50
+    missing = [n for n in ROUND10_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert not set(ROUND10_WINDOW) & set(ROUND9_WINDOW)
+    assert "sink_zorder_pruning" in ROUND10_WINDOW
+
+    repo = Path(__file__).resolve().parents[1]
+    latest = _latest_driver_round(repo, through_round=8)
+    stale = [n for n in ROUND10_WINDOW if latest.get(n, 0) > 7]
+    assert not stale, f"round-10 slots wasted on fresh evidence: {stale}"
+    never = [n for n in ROUND10_WINDOW if latest.get(n, 0) == 0]
+    assert not never, f"round-10 slots on never-evidenced queries (use a dark-tier window): {never}"
+
+
 def test_evidence_freshness_rotation_cannot_stall():
     """Freshness gate (VERDICT r5, task 7): every registered query's
     evidence — its latest clean driver row, or its slot in the currently

@@ -338,6 +338,24 @@ def test_zorder_write_preserves_rows(spark):
     )
 
 
+def test_zorder_write_rejects_non_power_of_two_fan_out(spark):
+    """span = 65536 // n_files only tiles the z-key space exactly for
+    power-of-two fan-outs; a non-power-of-two lets floor(zkey/span)
+    reach n_files — one extra _zbucket directory beyond the requested
+    count (round-8 ADVICE). The public signature now refuses it up
+    front instead of silently over-fanning."""
+    import pytest as _pytest
+
+    from rws_data_ingester_spark.operators.layout import write_zordered
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    for bad in (3, 12, 100, 0, -8):
+        with _pytest.raises(ValueError, match="power of two"):
+            write_zordered(li, "/tmp/never_written", "l_orderkey", "l_partkey", n_files=bad)
+
+
 def test_lateral_topn_compiles_to_window_group_limit(spark):
     """The correlated LATERAL ... ORDER BY ... LIMIT must decorrelate to
     the WindowGroupLimit shape (per-group partial limits before the

@@ -129,6 +129,22 @@ def test_embedding_shift_is_orthogonal(spark, scaled_dir):
     assert checked > 0
 
 
+def test_embedding_element_type_matches_source_across_clones(spark, scaled_dir):
+    """Round-8 ADVICE (medium): the ±1.0 sign literals in the embedding
+    shift are Python doubles, so without the explicit cast back the
+    clone i>=1 branches widened array<float> → array<double> and the
+    k>=2 union coerced the whole column — scaled warehouses stored
+    8-byte elements while the k=1 base stored 4-byte, a 2x per-row byte
+    skew that biased the embedding-tier scaling exponents on the
+    base→first leg. Pin: the scaled table's embedding type equals the
+    source's exactly."""
+    from rws_data_ingester_spark.catalog import load_table
+
+    src_t = load_table(spark, SF_DIR, "embeddings").schema["embedding"].dataType
+    out_t = load_table(spark, scaled_dir, "embeddings").schema["embedding"].dataType
+    assert out_t == src_t, (src_t, out_t)
+
+
 def test_clone_transforms_collision_free_to_k100():
     """Round-8 extension to k=100 (sf10 scale point): the per-clone text
     permutations must be pairwise-distinct derangements for every clone

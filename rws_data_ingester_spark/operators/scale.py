@@ -70,7 +70,14 @@ def detect_hot_keys(
     keys each owning >5% of the data cannot exist). At 100 TB the
     sample is ~rows*fraction per executor with a partial-agg combine,
     never a full shuffle of the key column."""
-    sampled = big.select(key).sample(fraction=sample_fraction, seed=42)
+    # NULL keys are excluded: a NULL can dominate a sample (sparse FK
+    # columns) but it is not saltable — the inner equi-join drops it
+    # regardless of strategy, so salting it would only add a WHEN branch
+    sampled = (
+        big.select(key).filter(F.col(key).isNotNull()).sample(
+            fraction=sample_fraction, seed=42
+        )
+    )
     total = sampled.count()
     if total == 0:
         return []

@@ -294,3 +294,15 @@ def test_salted_join_adaptive_scans_big_side_once(spark):
     assert plan.count("orders.parquet") == 1, plan[:1500]
     assert plan.count("customer.parquet") == 1
     assert "Union" not in plan
+
+
+def test_detect_hot_keys_degenerate_inputs(spark):
+    """Empty frame → no hot keys (and no ZeroDivision inside the share
+    math); all-NULL keys → no hot keys (NULL is never a salt target —
+    the plain join drops it anyway)."""
+    from rws_data_ingester_spark.operators.scale import detect_hot_keys
+
+    empty = spark.createDataFrame([], "k long")
+    assert detect_hot_keys(empty, "k", sample_fraction=1.0) == []
+    nulls = spark.createDataFrame([(None,)] * 50, "k long")
+    assert detect_hot_keys(nulls, "k", sample_fraction=1.0, hot_share=0.05) == []

@@ -199,14 +199,25 @@ def test_skew_artifact_pins_linear_edges_and_flat_ratios():
     # wanders, but a hot-key blow-up reads as integer multiples)
     for name in ("dedup_clusters", "window_topk_per_group"):
         assert q[name]["ratio"] <= 1.5, (name, q[name])
-    # the salted join is skew-oblivious by construction at every
-    # measured intensity
-    for name, row in q.items():
-        if name.startswith("join_salted"):
-            assert row["ratio"] <= 1.3, (name, row)
-    for name, row in (data.get("sf10_joins", {}).get("queries", {})).items():
-        if name.startswith("join_salted"):
-            assert row["ratio"] <= 1.3, (name, row)
+    # each salt form is pinned to ITS contract. The BLANKET salt is
+    # skew-oblivious by construction (ratio ~1 at every intensity). The
+    # ADAPTIVE salt only spreads the hot key — it accepts a bounded
+    # residual ratio in exchange for no blanket replication premium —
+    # so its pins are (a) a bounded ratio and (b) dominance over the
+    # blanket form on BOTH sides where the two were measured together.
+    sf10 = data.get("sf10_joins", {}).get("queries", {})
+    for rows in (q, sf10):
+        for name, row in rows.items():
+            if name.startswith("join_salted_adaptive"):
+                assert row["ratio"] <= 1.6, (name, row)
+            elif name.startswith("join_salted"):
+                assert row["ratio"] <= 1.3, (name, row)
+    for suffix in ("nobhj", "noaqeskew"):
+        adaptive = sf10.get(f"join_salted_adaptive_{suffix}")
+        blanket = sf10.get(f"join_salted_skew_{suffix}")
+        if adaptive and blanket:
+            assert adaptive["uniform_sec"] < blanket["uniform_sec"], suffix
+            assert adaptive["skewed_sec"] < blanket["skewed_sec"], suffix
     # the quadratic-by-design pair query is EXPECTED to move under a hot
     # bucket — its presence in the artifact is the documented contrast,
     # not a regression (no flat assertion)

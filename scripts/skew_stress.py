@@ -150,6 +150,14 @@ def main() -> None:
         ("dedup_minhash_candidates", REGISTRY["dedup_minhash_candidates"].fn, None),
         # hot window partition (10% of orders on one custkey)
         ("window_topk_per_group", REGISTRY["window_topk_per_group"].fn, None),
+        # hot USER windows with no rank-limit pruning: sessionization is
+        # a lag+sum window over (user, ts) — the hot user's 10% of all
+        # events land in ONE sorted window partition (round-9 addendum)
+        ("session_window_islands", REGISTRY["session_window_islands"].fn, None),
+        # hot TOKENS: the boilerplate cluster repeats ~110 words across
+        # 5% of the corpus, so tf-idf's per-token document-frequency agg
+        # gets ~110 hot token keys (partial aggs should absorb this)
+        ("text_tfidf", REGISTRY["text_tfidf"].fn, None),
         # the salted join vs its plain twin, in the fact-fact (no
         # broadcast) regime; AQE skew splitting ON in both
         ("join_salted_skew_nobhj", REGISTRY["join_salted_skew"].fn, no_bhj),
@@ -313,8 +321,15 @@ def main() -> None:
     assert star_edges <= 4 * n_hot + 0.01 * n_docs, structure
     assert clique_pairs > 10 * star_edges, structure
 
+    # a full re-run must not drop the sf10 join section measured by
+    # scripts/skew_join_sf10.py — carry it forward from the existing
+    # artifact
+    prior_sf10 = None
+    if OUT.exists():
+        prior_sf10 = json.loads(OUT.read_text()).get("sf10_joins")
     out = {
         "protocol": "skew-v1-paired-controlled",
+        "sf10_joins": prior_sf10,
         "pair_root": PAIR_ROOT,
         "manifest": manifest,
         "cores": cores,

@@ -233,7 +233,12 @@ def _banded(sigs: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFr
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str, num_hashes: int = 16, bands: int = 4
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 10_000,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """Band the signature and bucket-join: docs agreeing on any full band
     become candidate pairs. Shuffle key = (band_id, band_hash) — only
@@ -242,7 +247,31 @@ def lsh_candidate_pairs(
     Pair output is quadratic in bucket size (a k-member bucket emits
     k·(k-1)/2 pairs) — right when each pair gets individually scored
     (``dedup_jaccard_pairs``), wrong as connected-components input where
-    only connectivity matters; feed CC ``lsh_star_edges`` instead."""
+    only connectivity matters; feed CC ``lsh_star_edges`` instead.
+
+    Hot-bucket guard (r9 VERDICT watch item #1, SKEW_r09 measured the
+    unguarded form 2.4–2.7× under one 2,450-member bucket): at 100 TB a
+    1M-member boilerplate bucket emits ~5×10¹¹ pairs and the job dies,
+    so buckets larger than ``max_bucket_size`` never reach the pair
+    join. The size is a window count over the (band_id, band_hash)
+    partition the banding is ALREADY repartitioned on — no extra
+    shuffle, no extra job, and the guard fires in the banding stage
+    BEFORE any quadratic output exists. ``on_oversize``:
+
+    - ``"error"`` (default): ``raise_error`` with the bucket id and size
+      — per-pair scoring over a mega-bucket is almost always a symptom
+      (an empty-shingle band, templated boilerplate) that the caller
+      should see, not silently absorb;
+    - ``"star"``: oversized buckets contribute STAR edges (member ↔
+      bucket-min) instead of clique pairs — linear in bucket size, the
+      same connectivity (CC over the result is identical, equivalence-
+      tested), but NOT score-complete: pairs inside an oversized bucket
+      that share no small bucket won't be individually scored. Right
+      when the pairs feed connected components; wrong when every pair's
+      Jaccard matters.
+    """
+    if on_oversize not in {"error", "star"}:
+        raise ValueError(f"on_oversize must be 'error' or 'star', got {on_oversize!r}")
     banded = _banded(sigs, id_col, num_hashes, bands)
     # One explicit exchange on the join key: both sides of the self-join
     # below hit the SAME shuffle output (ReusedExchange) — the signature
@@ -252,8 +281,32 @@ def lsh_candidate_pairs(
     # The shuffle_hash hint keeps AQE from flipping to broadcast, which
     # would wrap one side in a BroadcastExchange and defeat the reuse.
     banded = banded.repartition("band_id", "band_hash")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
+    bucket_n = F.count(F.lit(1)).over(W.partitionBy("band_id", "band_hash"))
+    if on_oversize == "error":
+        banded = banded.withColumn(
+            "_bucket_n",
+            F.when(
+                bucket_n > max_bucket_size,
+                F.raise_error(
+                    F.format_string(
+                        "lsh_candidate_pairs: bucket (band_id=%s, band_hash=%s) "
+                        "has %s members > max_bucket_size="
+                        + str(max_bucket_size)
+                        + " — clique pairs would be quadratic; raise "
+                        "max_bucket_size, pass on_oversize='star', or feed "
+                        "CC lsh_star_edges instead",
+                        F.col("band_id"),
+                        F.col("band_hash"),
+                        bucket_n,
+                    )
+                ).cast("long"),
+            ).otherwise(bucket_n),
+        )
+    else:
+        banded = banded.withColumn("_bucket_n", bucket_n)
+    small = banded.filter(F.col("_bucket_n") <= max_bucket_size)
+    a, b = small.alias("a"), small.alias("b")
+    pairs = (
         a.join(
             b.hint("shuffle_hash"),
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -261,8 +314,16 @@ def lsh_candidate_pairs(
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
+    if on_oversize == "star":
+        big = banded.filter(F.col("_bucket_n") > max_bucket_size)
+        root = F.min(id_col).over(W.partitionBy("band_id", "band_hash"))
+        star = (
+            big.select(root.alias("id_a"), F.col(id_col).alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def lsh_star_edges(

@@ -75,6 +75,14 @@ def write_zordered(
     (one row — the bounded-collect class); the bounds land in the keying
     expression as literals and the count sizes the file fan-out; the
     layout pass is one hash shuffle on the z-bucket."""
+    if n_files is not None and (n_files < 1 or n_files & (n_files - 1)):
+        # span = 2^(2*_BITS) // n_files below only tiles the key space
+        # exactly for power-of-two fan-outs; a non-power-of-two makes
+        # floor(zkey/span) reach n_files, i.e. one extra _zbucket
+        # directory beyond the requested count (round-8 ADVICE). Checked
+        # BEFORE the stats agg so a bad argument fails fast instead of
+        # after a full scan of the input (round-9 ADVICE).
+        raise ValueError(f"n_files must be a power of two, got {n_files}")
     stats = df.agg(
         F.min(dim1).cast("double").alias("lo1"),
         F.max(dim1).cast("double").alias("hi1"),
@@ -84,12 +92,6 @@ def write_zordered(
     ).first()
     if n_files is None:
         n_files = _adaptive_n_files(stats["n_rows"])
-    elif n_files < 1 or n_files & (n_files - 1):
-        # span = 2^(2*_BITS) // n_files below only tiles the key space
-        # exactly for power-of-two fan-outs; a non-power-of-two makes
-        # floor(zkey/span) reach n_files, i.e. one extra _zbucket
-        # directory beyond the requested count (round-8 ADVICE)
-        raise ValueError(f"n_files must be a power of two, got {n_files}")
     lo1, hi1, lo2, hi2 = (
         stats[k] if stats[k] is not None else 0.0
         for k in ("lo1", "hi1", "lo2", "hi2")  # empty input → null bounds
@@ -225,12 +227,13 @@ def _multiset_fingerprint(df: DataFrame):
     both sides. decimal(38,0) for the sum because full-range 64-bit
     hashes overflow a long sum under the engine's pinned ANSI mode."""
     h = F.xxhash64(*[F.col(c) for c in df.columns])
+    # bit_xor over the SAME h expression (round-9 ADVICE: the previous
+    # F.expr spliced raw column names into SQL, which mis-parses names
+    # needing backtick quoting and re-derived the hash already built here).
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(h.cast("decimal(38,0)")).alias("hsum"),
-        F.expr(
-            "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
-        ).alias("hxor"),
+        F.bit_xor(h).alias("hxor"),
     ).first()
     return (row["n"], row["hsum"], row["hxor"])
 

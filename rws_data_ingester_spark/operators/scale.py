@@ -21,6 +21,7 @@ def salted_join(
     small_key: str,
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: salt the big (skewed) side with a random
     shard id, replicate the small side across all shards, join on
@@ -28,8 +29,19 @@ def salted_join(
     of one. Result is row-identical to the plain join.
 
     The salt must be deterministic per row for retry-safety — derived from
-    a hash of the whole row, not rand() (a retried task must re-produce
+    a hash of the row, not rand() (a retried task must re-produce
     the same salt or shuffle re-computation corrupts the join).
+
+    ``salt_cols`` (default: all columns) picks which columns feed the
+    salt hash — a few high-entropy columns (an event id, a timestamp)
+    give the same spread at a fraction of the per-row hash cost on wide
+    fact rows. Known limitation of ANY deterministic row-hash salt:
+    full-duplicate rows of a hot key (identical across salt_cols) all
+    land in ONE salt bucket and are not spread. That trade is deliberate —
+    mixing in a nondeterministic ordinal (monotonically_increasing_id)
+    would spread duplicates but break retry-stability, corrupting the
+    join under task re-execution; dedup-first or add a unique id column
+    upstream when duplicate-dominated hot keys are expected (r9 ADVICE).
 
     Only inner/left/left_semi/left_anti are supported: the small side is
     replicated n_salts times, so right/full outer would emit every
@@ -42,7 +54,8 @@ def salted_join(
             "replicating the small side would duplicate its unmatched rows "
             f"{n_salts}x under right/full outer joins"
         )
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    salt_src = salt_cols if salt_cols else big.columns
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts))
     big_salted = big.withColumn("_salt", salt)
     small_replicated = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -78,17 +91,25 @@ def detect_hot_keys(
             fraction=sample_fraction, seed=42
         )
     )
-    total = sampled.count()
-    if total == 0:
-        return []
-    rows = (
-        sampled.groupBy(key)
-        .count()
-        .filter(F.col("count") > hot_share * total)
-        .orderBy(F.col("count").desc())
-        .limit(max_hot_keys)
-        .collect()
-    )
+    # ONE realization of the sample for both the total and the per-key
+    # counts (round-9 ADVICE: two separate actions over the same .sample()
+    # can see different rows when the upstream partitioning is unstable —
+    # e.g. a repartitioned input — which shifts the hot_share threshold).
+    # The grouped frame is cached, materialized once by the total-sum
+    # action, and the top-k filter reads that same materialization.
+    grouped = sampled.groupBy(key).count().cache()
+    try:
+        total = grouped.agg(F.sum("count")).first()[0] or 0
+        if total == 0:
+            return []
+        rows = (
+            grouped.filter(F.col("count") > hot_share * total)
+            .orderBy(F.col("count").desc())
+            .limit(max_hot_keys)
+            .collect()
+        )
+    finally:
+        grouped.unpersist()
     return [r[key] for r in rows]
 
 
@@ -101,6 +122,7 @@ def salted_join_adaptive(
     hot_keys: list | None = None,
     sample_fraction: float = 0.001,
     hot_share: float = 0.05,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-targeted salted join: salt ONLY the detected hot keys, plain
     shuffle join for everything else, union the two halves. Result is
@@ -132,17 +154,20 @@ def salted_join_adaptive(
     |hot_keys| x n_salts row inflation of the small side.
 
     Same outer-join restriction as ``salted_join`` (hot small-side rows
-    are replicated), and the plain-join semantics of NULL keys are
-    preserved: ``isin`` yields NULL for a NULL key, the WHEN falls
-    through to salt 0, and the equi-join drops the NULL key exactly like
-    the unsalted join would."""
+    are replicated), the same ``salt_cols`` knob and duplicate-row
+    limitation (full-duplicate hot rows share one salt bucket — the
+    price of the deterministic retry-stable salt), and the plain-join
+    semantics of NULL keys are preserved: ``isin`` yields NULL for a
+    NULL key, the WHEN falls through to salt 0, and the equi-join drops
+    the NULL key exactly like the unsalted join would."""
     if hot_keys is None:
         hot_keys = detect_hot_keys(
             big, big_key, sample_fraction=sample_fraction, hot_share=hot_share
         )
     if not hot_keys:
         return big.join(small, big[big_key] == small[small_key], "inner")
-    row_salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    salt_src = salt_cols if salt_cols else big.columns
+    row_salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(n_salts))
     big_salted = big.withColumn(
         "_salt",
         F.when(F.col(big_key).isin(hot_keys), row_salt).otherwise(F.lit(0)),
@@ -243,6 +268,55 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=8,
     )
     return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        pround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@query(
+    "join_salted_adaptive",
+    oracle="""
+    SELECT c.c_mktsegment,
+           o.o_orderpriority,
+           COUNT(*)::BIGINT AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment, o.o_orderpriority
+    """,
+)
+def join_salted_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per (segment, priority) through the hot-key-targeted
+    adaptive salted join (r9's `salted_join_adaptive`) — the oracle is
+    the plain unsalted SQL join, so the driver verifies the conditional
+    salting is invisible in the result, exactly like `join_salted_skew`
+    does for the blanket form.
+
+    The hot-key list is pinned deterministically to the single most
+    frequent o_custkey (tie-broken by key) via one bounded driver
+    collect, so the HOT path (conditional row-hash salt + small-side
+    explode over n_salts) is exercised at every fixture scale — the
+    sampled `detect_hot_keys` would correctly find nothing hot in
+    uniform TPC-H data and reduce this to the plain join, which would
+    leave the salting branch driver-unproven. `salt_cols` is narrowed to
+    the unique o_orderkey: same spread as whole-row hashing at a
+    fraction of the per-row cost on a wide fact row (r9 ADVICE)."""
+    c = Catalog(spark, sf_dir)
+    top = (
+        c.orders.groupBy("o_custkey")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("o_custkey"))
+        .first()
+    )
+    joined = salted_join_adaptive(
+        c.orders,
+        c.customer.select("c_custkey", "c_mktsegment"),
+        "o_custkey",
+        "c_custkey",
+        n_salts=8,
+        hot_keys=[top["o_custkey"]],
+        salt_cols=["o_orderkey"],
+    )
+    return joined.groupBy("c_mktsegment", "o_orderpriority").agg(
         F.count("*").alias("n_orders"),
         pround(F.sum("o_totalprice"), 2).alias("revenue"),
     )

@@ -167,6 +167,98 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("session_window_sharded", oracle=_SESSION_ORACLE)
+def session_window_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same session semantics, TIME-SHARDED (r9 VERDICT watch item #3):
+    sessionize per (user_id, calendar day), then merge the sessions that
+    cross a day boundary. Result is row-identical to the plain islands
+    form (same oracle; equivalence-tested in tests/test_temporal_extra).
+
+    Why: the plain form's one shuffle key is user_id, so a single user
+    owning terabytes of events (SKEW_r09's hot user holds 10%) lands on
+    ONE task whose sort is that user's whole history. Sharding by
+    (user_id, day) bounds every phase-1 task to one user-day; the hot
+    user spreads across as many tasks as days in the corpus. Phase 2
+    re-shuffles only the boundary-candidate SESSIONS — sessions whose
+    first event is within the gap of their day's start or last event
+    within the gap of its end — which is orders of magnitude smaller
+    than the event stream (session rows, not events; and only the
+    near-midnight slice of those). Sessions can only merge across a
+    boundary if BOTH are candidates (a cross-shard gap ≤ 30 min forces
+    each side within 30 min of the boundary), and same-shard candidates
+    re-separate because phase 2 re-checks the exact gap — so routing
+    non-candidates around the merge loses nothing.
+
+    Correctness of the decomposition: the islands split is determined
+    purely by the sorted per-user gap sequence, so splitting at day
+    boundaries and re-merging consecutive session intervals with the
+    SAME strict >30 min rule on (next.start − prev.end) reproduces the
+    exact session partition — a chain spanning N days is rebuilt by the
+    running-sum islands over its N parts. Aggregates compose (min start,
+    max end, summed counts/values); rounding happens once, at the end."""
+    gap = 1800.0
+    ev = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
+    day = F.to_date("ts")
+    w1 = W.partitionBy("user_id", "_day").orderBy("ts", "event_id")
+    w1_run = w1.rowsBetween(W.unboundedPreceding, 0)
+    flag1 = F.when(
+        F.col("_prev_ts").isNull()
+        | (F.col("ts").cast("double") - F.col("_prev_ts").cast("double") > gap),
+        1,
+    ).otherwise(0)
+    shard_sessions = (
+        ev.withColumn("_day", day)
+        .withColumn("_prev_ts", F.lag("ts").over(w1))
+        .withColumn("_new", flag1)
+        .withColumn("_sid", F.sum("_new").over(w1_run))
+        .groupBy("user_id", "_day", "_sid")
+        .agg(
+            F.min("ts").alias("_start"),
+            F.max("ts").alias("_end"),
+            F.count("*").alias("_n"),
+            F.sum("value").alias("_val"),
+        )
+    )
+    day_start = F.col("_day").cast("timestamp").cast("double")
+    near_boundary = (
+        (F.col("_start").cast("double") - day_start <= gap)
+        | (day_start + 86400.0 - F.col("_end").cast("double") <= gap)
+    )
+    flagged = shard_sessions.withColumn("_cand", near_boundary)
+    passthrough = flagged.filter(~F.col("_cand"))
+    cand = flagged.filter(F.col("_cand"))
+    w2 = W.partitionBy("user_id").orderBy("_start")
+    w2_run = w2.rowsBetween(W.unboundedPreceding, 0)
+    flag2 = F.when(
+        F.col("_prev_end").isNull()
+        | (F.col("_start").cast("double") - F.col("_prev_end").cast("double") > gap),
+        1,
+    ).otherwise(0)
+    merged = (
+        cand.withColumn("_prev_end", F.lag("_end").over(w2))
+        .withColumn("_new", flag2)
+        .withColumn("_mid", F.sum("_new").over(w2_run))
+        .groupBy("user_id", "_mid")
+        .agg(
+            F.min("_start").alias("_start"),
+            F.max("_end").alias("_end"),
+            F.sum("_n").alias("_n"),
+            F.sum("_val").alias("_val"),
+        )
+    )
+    cols = ["user_id", "_start", "_end", "_n", "_val"]
+    out = passthrough.select(cols).unionByName(merged.select(cols))
+    return out.select(
+        "user_id",
+        ts_str(F.col("_start")).alias("session_start"),
+        ts_str(F.timestamp_add("MINUTE", F.lit(30), F.col("_end"))).alias(
+            "session_end"
+        ),
+        F.col("_n").alias("n_events"),
+        pround(F.col("_val"), 4).alias("total_value"),
+    )
+
+
 @query(
     "dedup_first_event",
     oracle="""

@@ -584,17 +584,89 @@ ROUND10_WINDOW = (
 )
 assert len(ROUND10_WINDOW) == 50, len(ROUND10_WINDOW)
 
-# The window the driver's 50-slot gate sees THIS round. Round 9 flips to
-# the staged ROUND9_WINDOW (CORRECTNESS_r08: 50/50 clean — every window
-# query rows+schema+hash green): the freshness rotation re-proves the
-# round-5 vintage — the set-op/pivot/subquery family, simsearch_topk_exact,
-# the rows-only heavies (training funnel, PQ, BPE, reservoir, stateful
-# streaming, codec round-trips) — which after r8 is the oldest evidence
-# in the ledger (age 4, at the gate boundary), plus the 6
-# alphabetically-first round-6 heads. After this lands, no evidence
-# anywhere is older than round 6 (within the 4-round gate). COVERAGE.md
+# Staged for round 11 (flip once CORRECTNESS_r10 lands): the two
+# first-proof slots for the operators added in rounds 9-10 with no
+# driver row yet — `join_salted_adaptive` (the hot-key-targeted salted
+# join, r9 VERDICT task 2) and `session_window_sharded` (time-sharded
+# sessionization, r9 VERDICT task 4) — then the 44 round-7-vintage
+# queries (the oldest evidence once round 10 re-proves the round-6
+# tier: the mixing/sampling family, the oracle-paired stream tier, the
+# scalar-misc families, timeseries, the UDF surface) and the 4
+# alphabetically-first round-8-vintage heads (2 + 44 + 4 = 50).
+# Recomputed from ∪CORRECTNESS_r*.json through r09 per the COVERAGE.md
+# policy (vintage distribution after r10, assuming it lands clean:
+# 44×r7 + 50×r8 + 50×r9 + 50×r10 + the 2 dark first-proofs);
+# well-formedness pinned by
+# tests/test_oracle_parity.py::test_round11_staged_window_is_well_formed.
+ROUND11_WINDOW = (
+    # first-proof slots: registered this round, no driver vintage yet
+    "join_salted_adaptive",
+    "session_window_sharded",
+    # round-7 vintage (44)
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "engagement_rolling_active",
+    "grouped_map_zscore",
+    "ids_assign_contiguous",
+    "join_lateral_topn",
+    "join_null_safe",
+    "join_salted_skew",
+    "multimodal_audio_features",
+    "multimodal_image_decode",
+    "pipeline_cached_reuse",
+    "pipeline_data_mix",
+    "pipeline_mix_temperature",
+    "pipeline_quality_filter",
+    "pipeline_train_val_test",
+    "rollup_time_hierarchy",
+    "sample_deterministic",
+    "sample_stratified_capped",
+    "scalar_bitwise",
+    "scalar_encode_map_funcs",
+    "scalar_generators",
+    "scd2_intervals",
+    "sql_passthrough_segment_revenue",
+    "stream_dedup_within_watermark",
+    "stream_parquet_sink_recovery",
+    "stream_scheduled_refresh",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_static_enrich_purchases",
+    "stream_tumbling_counts",
+    "text_chunk_overlap",
+    "text_contamination",
+    "text_length_outliers",
+    "text_pii_redact",
+    "text_repetition",
+    "text_token_count_bpe",
+    "text_vocab_oov",
+    "timeseries_anomaly_zscore",
+    "timeseries_gapfill",
+    "trend_wow_revenue",
+    "udaf_geomean_price",
+    "udf_scalar_vowels",
+    "udf_sql_registered",
+    "udtf_bigrams",
+    # round-8 vintage heads, alphabetically first (4)
+    "agg_approx_distinct_bounds",
+    "agg_bool",
+    "agg_corr_covar",
+    "agg_grouping_id",
+)
+assert len(ROUND11_WINDOW) == 50, len(ROUND11_WINDOW)
+
+# The window the driver's 50-slot gate sees THIS round. Round 10 flips
+# to the staged ROUND10_WINDOW (CORRECTNESS_r09: 50/50 clean — 30
+# oracle pairs rows+schema+hash green + 20 rows-only at design counts):
+# the freshness rotation gives `sink_zorder_pruning` its first driver
+# row on the post-r9-fingerprint-audit code and re-proves the 44
+# round-6-vintage queries now at the freshness boundary (scalar
+# families, window family, minhash/simhash/jaccard dedup, multimodal
+# metadata, text tier, batch-stream twins, ANN variants), plus the 5
+# alphabetically-first round-7 heads. After this lands, no evidence
+# anywhere is older than round 7 (within the 4-round gate). COVERAGE.md
 # keeps the vintage ledger.
-_ACTIVE_WINDOW = ROUND9_WINDOW
+_ACTIVE_WINDOW = ROUND10_WINDOW
 
 _missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
 assert not _missing, f"active window names not registered: {_missing}"

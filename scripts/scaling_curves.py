@@ -327,7 +327,14 @@ def main() -> None:
     # from the PASS MEDIAN control was measured on a wandering box — its
     # rows would bend the curve — so that point alone is re-measured
     # once. Still breaching after the retry → refuse the artifact.
-    med_ctrl = sorted(controls.values())[len(controls) // 2]
+    # No point probed (every scale dir skipped via the empty-names early
+    # return) → nothing to gate; fall through and write the artifact
+    # without control participation instead of IndexError (r9 ADVICE).
+    if not controls:
+        print("no scale point measured a control — gate skipped", flush=True)
+    med_ctrl = (
+        sorted(controls.values())[len(controls) // 2] if controls else 0.0
+    )
     for d in dirs + tier_dirs:
         sf_key = f"{_sf_of(d):g}"
         if sf_key not in controls:  # point skipped (no queries)
@@ -341,7 +348,9 @@ def main() -> None:
                 flush=True,
             )
             measure_point(d, attempt=2)
-    med_ctrl = sorted(controls.values())[len(controls) // 2]
+    med_ctrl = (
+        sorted(controls.values())[len(controls) // 2] if controls else 0.0
+    )
     bad = {
         k: v
         for k, v in controls.items()

@@ -385,15 +385,55 @@ def test_round10_staged_window_is_well_formed():
     assert not never, f"round-10 slots on never-evidenced queries (use a dark-tier window): {never}"
 
 
+def test_round11_staged_window_is_well_formed():
+    """ROUND11_WINDOW is pre-staged (inactive until _ACTIVE_WINDOW flips
+    after CORRECTNESS_r10): 50 registered names, no overlap with the
+    round-10 window, and every slot continues the freshness rotation —
+    at staging time (evidence through r09) each slot's latest driver row
+    is round-7/8 vintage, the oldest evidence remaining once the
+    round-10 window re-proves the round-6 tier. Two DELIBERATE
+    first-proof slots carry no prior evidence: `join_salted_adaptive`
+    and `session_window_sharded` were registered in round 10 (r9 VERDICT
+    tasks 2 and 4) and take their first driver row here."""
+    from pathlib import Path
+
+    from rws_data_ingester_spark.plans import REGISTRY, ROUND10_WINDOW, ROUND11_WINDOW
+
+    FIRST_PROOF = {"join_salted_adaptive", "session_window_sharded"}
+
+    assert len(ROUND11_WINDOW) == 50
+    missing = [n for n in ROUND11_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    assert not set(ROUND11_WINDOW) & set(ROUND10_WINDOW)
+    assert FIRST_PROOF <= set(ROUND11_WINDOW)
+
+    repo = Path(__file__).resolve().parents[1]
+    latest = _latest_driver_round(repo, through_round=9)
+    stale = [n for n in ROUND11_WINDOW if latest.get(n, 0) > 8]
+    assert not stale, f"round-11 slots wasted on fresh evidence: {stale}"
+    never = [
+        n
+        for n in ROUND11_WINDOW
+        if latest.get(n, 0) == 0 and n not in FIRST_PROOF
+    ]
+    assert not never, f"round-11 slots on never-evidenced queries (use a dark-tier window): {never}"
+
+
 def test_evidence_freshness_rotation_cannot_stall():
     """Freshness gate (VERDICT r5, task 7): every registered query's
     evidence — its latest clean driver row, or its slot in the currently
     active window (in-flight evidence for THIS round) — must be no older
     than GRACE_ROUNDS behind the current round. If the rotation ever
     stalls (a window re-proves fresh queries while old vintage ages out),
-    this fails before the ledger silently rots."""
+    this fails before the ledger silently rots.
+
+    A query registered mid-rotation has latest=0 until its first driver
+    row; it is not a stall as long as it holds a slot in THIS round's
+    window or the staged NEXT window (the earliest slot a query added
+    after the current window froze can occupy)."""
     from pathlib import Path
 
+    import rws_data_ingester_spark.plans as plans
     from rws_data_ingester_spark.plans import REGISTRY, _ACTIVE_WINDOW
 
     GRACE_ROUNDS = 4
@@ -402,10 +442,14 @@ def test_evidence_freshness_rotation_cannot_stall():
     latest = _latest_driver_round(repo)
     current_round = max(latest.values(), default=0) + 1
     active = set(_ACTIVE_WINDOW)
+    staged_next = set(
+        getattr(plans, f"ROUND{current_round + 1}_WINDOW", ())
+    )
+    scheduled = active | {n for n in staged_next if latest.get(n, 0) == 0}
     stale = sorted(
         n
         for n in REGISTRY
-        if n not in active and current_round - latest.get(n, 0) > GRACE_ROUNDS
+        if n not in scheduled and current_round - latest.get(n, 0) > GRACE_ROUNDS
     )
     assert not stale, (
         f"queries whose driver evidence is >{GRACE_ROUNDS} rounds old and "

@@ -317,3 +317,152 @@ def test_detect_hot_keys_degenerate_inputs(spark):
     assert detect_hot_keys(empty, "k", sample_fraction=1.0) == []
     nulls = spark.createDataFrame([(None,)] * 50, "k long")
     assert detect_hot_keys(nulls, "k", sample_fraction=1.0, hot_share=0.05) == []
+
+
+# --------------------------------------------------------------------------
+# Hot-bucket guard on the clique-pair path (r9 VERDICT watch item #1)
+# --------------------------------------------------------------------------
+def test_lsh_hot_bucket_guard_error_mode_fails_fast(spark):
+    """A planted 20k-member mega-bucket must FAIL the default clique-pair
+    path before any quadratic output exists (unguarded it would emit
+    ~2x10^8 pairs here, ~5x10^11 at a 100 TB boilerplate bucket), while
+    buckets under the threshold are untouched."""
+    from rws_data_ingester_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = _planted_sigs(spark, n_hot=20_000, n_cold=50)
+    with pytest.raises(Exception, match="max_bucket_size"):
+        lsh_candidate_pairs(sigs, "doc_id").count()
+    ok = lsh_candidate_pairs(_planted_sigs(spark, n_hot=200, n_cold=10), "doc_id")
+    assert ok.count() == 200 * 199 // 2
+    with pytest.raises(ValueError, match="on_oversize"):
+        lsh_candidate_pairs(sigs, "doc_id", on_oversize="bogus")
+
+
+def test_lsh_hot_bucket_guard_star_route_bounds_pairs_and_preserves_cc(spark):
+    """on_oversize='star': the 20k mega-bucket contributes LINEAR star
+    edges (19,999) instead of ~2x10^8 clique pairs, and connected
+    components over the routed output still resolve the bucket to ONE
+    cluster — the connectivity contract the removal pipelines need."""
+    from rws_data_ingester_spark.operators.cluster import connected_components
+    from rws_data_ingester_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = _planted_sigs(spark, n_hot=20_000, n_cold=50)
+    routed = lsh_candidate_pairs(sigs, "doc_id", on_oversize="star")
+    assert routed.count() == 19_999
+    comp = connected_components(routed, vertices=sigs.select("doc_id"))
+    sizes = sorted(
+        r["n"] for r in comp.groupBy("component").agg(F.count("*").alias("n")).collect()
+    )
+    assert sizes == [1] * 50 + [20_000]
+
+
+def test_lsh_guard_star_route_cc_equivalent_to_cliques(spark):
+    """Route-mode connectivity == unguarded clique connectivity, pinned at
+    a scale where the cliques are still computable (300-member bucket,
+    threshold 100 forces the star route)."""
+    from rws_data_ingester_spark.operators.cluster import connected_components
+    from rws_data_ingester_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs = _planted_sigs(spark, n_hot=300, n_cold=30)
+    v = sigs.select("doc_id")
+    cliques = lsh_candidate_pairs(sigs, "doc_id", max_bucket_size=1_000)
+    routed = lsh_candidate_pairs(
+        sigs, "doc_id", max_bucket_size=100, on_oversize="star"
+    )
+    n_cliques, n_routed = cliques.count(), routed.count()
+    assert n_routed == 299 and n_cliques == 300 * 299 // 2
+    cc_cliques = sorted(
+        map(tuple, connected_components(cliques, vertices=v).collect())
+    )
+    cc_routed = sorted(
+        map(tuple, connected_components(routed, vertices=v).collect())
+    )
+    assert cc_cliques == cc_routed
+
+
+# --------------------------------------------------------------------------
+# Time-sharded sessionization (r9 VERDICT watch item #3)
+# --------------------------------------------------------------------------
+def _session_rows(spark, fn, sf_dir):
+    df = fn(spark, sf_dir)
+    return sorted(map(tuple, df.collect()))
+
+
+def test_sharded_sessionization_equals_islands_on_fixture(spark):
+    """The (user, day)-sharded formulation must agree EXACTLY with the
+    plain islands form — same rows, not just same oracle hash."""
+    from rws_data_ingester_spark.operators.temporal import (
+        session_window_islands,
+        session_window_sharded,
+    )
+
+    a = _session_rows(spark, session_window_islands, SF_DIR)
+    b = _session_rows(spark, session_window_sharded, SF_DIR)
+    assert a == b
+
+
+def test_sharded_sessionization_equals_islands_under_hot_user(spark, skew_pair):
+    """Equivalence must survive the planted hot user (10% of events): the
+    sharded form splits that user's history across days and re-merges
+    boundary sessions; any merge-rule slip shows up here as a row diff.
+    Also pins the scale premise: the hot user's event stream spans many
+    days, so the (user_id, day) shuffle key actually spreads it."""
+    from rws_data_ingester_spark.catalog import load_table
+    from rws_data_ingester_spark.operators.temporal import (
+        session_window_islands,
+        session_window_sharded,
+    )
+
+    out, manifest = skew_pair
+    skewed = f"{out}/skewed"
+    a = _session_rows(spark, session_window_islands, skewed)
+    b = _session_rows(spark, session_window_sharded, skewed)
+    assert a == b
+    ev = load_table(spark, skewed, "events").filter(F.col("ts").isNotNull())
+    hot = ev.filter(F.col("user_id") == manifest["hot_user"])
+    per_day = (
+        hot.groupBy(F.to_date("ts").alias("d"))
+        .count()
+        .agg(F.count("*").alias("n_days"), F.max("count").alias("max_day"))
+        .first()
+    )
+    assert per_day["n_days"] > 1
+    # the largest single (user, day) phase-1 group is a small fraction of
+    # the hot user's stream — the shard key genuinely spreads the skew
+    assert per_day["max_day"] < hot.count() * 0.5
+
+
+def test_sharded_sessionization_merges_midnight_chain(spark):
+    """Synthetic boundary torture: one user with a session chain that
+    crosses two consecutive midnights (events every 20 min from 23:00 to
+    01:00 twice) plus an isolated event — the sharded form must rebuild
+    the chain into ONE session identical to the islands form."""
+    import datetime as dt
+
+    from rws_data_ingester_spark.operators import temporal as Tm
+
+    base = dt.datetime(2024, 3, 1, 23, 0, 0)
+    rows, eid = [], 0
+    t = base
+    while t < dt.datetime(2024, 3, 3, 1, 0, 0):
+        rows.append((7, eid, t, "click", 1.0))
+        eid += 1
+        t += dt.timedelta(minutes=20)
+    rows.append((7, eid, dt.datetime(2024, 3, 5, 12, 0, 0), "click", 2.0))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string, value double"
+    )
+
+    class _Cat:
+        def __init__(self, events):
+            self.events = events
+
+    saved = Tm.Catalog
+    try:
+        Tm.Catalog = lambda spark, sf_dir: _Cat(ev)
+        a = _session_rows(spark, Tm.session_window_islands, "unused")
+        b = _session_rows(spark, Tm.session_window_sharded, "unused")
+    finally:
+        Tm.Catalog = saved
+    assert a == b
+    assert len(a) == 2  # one 2-midnight chain + one singleton

@@ -180,14 +180,29 @@ def test_driver_evidence_ledger_covers_every_registered_query():
     round). Once CORRECTNESS_r05 lands, the union of recorded rounds
     alone covers the registry; until then the active window is the
     in-flight evidence. A query that is neither recorded nor scheduled
-    is invisible coverage — exactly the gap rounds 3-5 existed to close."""
+    is invisible coverage — exactly the gap rounds 3-5 existed to close.
+
+    A query registered AFTER the active window froze cannot hold a slot
+    this round; its slot in the staged next window is the scheduled
+    evidence (mirrors the stall gate's first-proof rule)."""
     import json
     from pathlib import Path
 
+    import rws_data_ingester_spark.plans as plans
     from rws_data_ingester_spark.plans import _ACTIVE_WINDOW
 
     repo = Path(__file__).resolve().parents[1]
     seen: set[str] = set(_ACTIVE_WINDOW)
+    # windows staged STRICTLY AFTER the active one (future rounds) carry
+    # scheduled first-proof slots; past windows stay excluded so a query
+    # that errored in an old window still reads as dark until re-proven
+    active_round = max(
+        i
+        for i in range(1, 50)
+        if getattr(plans, f"ROUND{i}_WINDOW", None) is _ACTIVE_WINDOW
+    )
+    for i in range(active_round + 1, 50):
+        seen |= set(getattr(plans, f"ROUND{i}_WINDOW", ()))
     for path in sorted(repo.glob("CORRECTNESS_r*.json")):
         recorded = json.loads(path.read_text())
         # count rows that ran clean: oracle-paired greens (err null) and

@@ -281,12 +281,18 @@ def lsh_candidate_pairs(
     # The shuffle_hash hint keeps AQE from flipping to broadcast, which
     # would wrap one side in a BroadcastExchange and defeat the reuse.
     banded = banded.repartition("band_id", "band_hash")
-    bucket_n = F.count(F.lit(1)).over(W.partitionBy("band_id", "band_hash"))
+    # The count is bound ONCE before the guard projection references it
+    # twice — WindowExec doesn't dedup identical window expressions, so
+    # folding the when/raise around the .over() directly would compute
+    # and buffer two copies (the plan-hygiene sweep catches exactly this).
+    banded = banded.withColumn(
+        "_bucket_n", F.count(F.lit(1)).over(W.partitionBy("band_id", "band_hash"))
+    )
     if on_oversize == "error":
         banded = banded.withColumn(
             "_bucket_n",
             F.when(
-                bucket_n > max_bucket_size,
+                F.col("_bucket_n") > max_bucket_size,
                 F.raise_error(
                     F.format_string(
                         "lsh_candidate_pairs: bucket (band_id=%s, band_hash=%s) "
@@ -297,13 +303,11 @@ def lsh_candidate_pairs(
                         "CC lsh_star_edges instead",
                         F.col("band_id"),
                         F.col("band_hash"),
-                        bucket_n,
+                        F.col("_bucket_n"),
                     )
                 ).cast("long"),
-            ).otherwise(bucket_n),
+            ).otherwise(F.col("_bucket_n")),
         )
-    else:
-        banded = banded.withColumn("_bucket_n", bucket_n)
     small = banded.filter(F.col("_bucket_n") <= max_bucket_size)
     a, b = small.alias("a"), small.alias("b")
     pairs = (

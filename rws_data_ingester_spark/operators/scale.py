@@ -307,13 +307,15 @@ def join_salted_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("count").desc(), F.col("o_custkey"))
         .first()
     )
+    # empty warehouse → no top key; [] falls back to the plain join,
+    # which is exactly the oracle's answer on zero rows
     joined = salted_join_adaptive(
         c.orders,
         c.customer.select("c_custkey", "c_mktsegment"),
         "o_custkey",
         "c_custkey",
         n_salts=8,
-        hot_keys=[top["o_custkey"]],
+        hot_keys=[] if top is None else [top["o_custkey"]],
         salt_cols=["o_orderkey"],
     )
     return joined.groupBy("c_mktsegment", "o_orderpriority").agg(

@@ -166,26 +166,22 @@ def test_salted_join_row_identical_under_planted_skew(spark, skew_pair):
 
 
 def test_skew_artifact_pins_linear_edges_and_flat_ratios():
-    """CI pin for the committed skew evidence (SKEW_r09.json, the
-    round-9 analog of the scaling-artifact pin): the star-edge ledger
-    must stay linear in the hot cluster, the clique pairs quadratic
-    (the contrast that justifies the CC input choice), and the
-    skew-designed paths (star-edge CC, window top-k, salted join) must
-    read flat — if a future round regenerates the artifact and a path
-    regresses into a hot-key blow-up, the suite fails until the plan is
-    fixed. No Spark: reads the committed artifact only."""
+    """CI pin for the committed round-9 skew evidence (SKEW_r09.json,
+    the round-9 analog of the scaling-artifact pin): the star-edge
+    ledger must stay linear in the hot cluster, the clique pairs
+    quadratic (the contrast that justifies the CC input choice), and
+    the skew-designed paths (star-edge CC, window top-k, salted join)
+    must read flat — if a future round regenerates the artifact and a
+    path regresses into a hot-key blow-up, the suite fails until the
+    plan is fixed. No Spark: reads the committed artifact only. (The
+    round-10 instrument writes a different section layout; its pins
+    live in test_skew_r10_artifact_pins below.)"""
     import json
-    import re
     from pathlib import Path
 
     repo = Path(__file__).resolve().parents[1]
-    best, best_round = None, -1
-    for path in repo.glob("SKEW_r*.json"):
-        m = re.search(r"_r(\d+)$", path.stem)
-        assert m is not None, path.name
-        if int(m.group(1)) > best_round:
-            best, best_round = path, int(m.group(1))
-    assert best is not None, "no SKEW_r*.json artifact committed"
+    best = repo / "SKEW_r09.json"
+    assert best.exists(), "SKEW_r09.json artifact missing"
     data = json.loads(best.read_text())
 
     s = data["structure"]
@@ -222,6 +218,54 @@ def test_skew_artifact_pins_linear_edges_and_flat_ratios():
     # bucket — its presence in the artifact is the documented contrast,
     # not a regression (no flat assertion)
     assert "dedup_minhash_candidates" in q
+
+
+def test_skew_r10_artifact_pins_sf10_guard_and_sharding():
+    """CI pin for the round-10 skew evidence (SKEW_r10.json): the sf10
+    mega-bucket star-edge ledger stays linear, the hot-bucket guard
+    actually FIRED on the default clique path, the star-routed pair
+    count stays bounded, the skew-designed tiers read flat, and the
+    sharded sessionization's structural claim (max sort partition = one
+    user-day, not the whole hot user) holds in the recorded numbers.
+    No Spark: reads the committed artifact only."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    path = repo / "SKEW_r10.json"
+    assert path.exists(), "SKEW_r10.json artifact missing"
+    data = json.loads(path.read_text())
+
+    s = data["sf10_dedup_structure"]
+    assert s["n_hot_docs"] >= 0.04 * s["n_docs"]
+    assert s["hot_lsh_bucket"] >= 0.8 * s["n_hot_docs"]
+    # the guard threshold sits well under the planted bucket — the pin
+    # is meaningful only if the bucket really exceeded it
+    assert s["hot_lsh_bucket"] > 10_000
+    assert s["star_edges"] <= 4 * s["n_hot_docs"] + 0.01 * s["n_docs"]
+    assert s["star_routed_pairs"] <= s["star_edges"] + 0.01 * s["n_docs"]
+    assert s["clique_pairs_avoided_lower_bound"] > 100 * s["star_routed_pairs"]
+
+    g = data["guard_fail_fast"]
+    assert g["fired"] is True
+    assert "max_bucket_size" in (g["message"] or "")
+
+    q = data["queries"]
+    # skew-designed paths stay flat (generous band; a hot-key blow-up
+    # reads as integer multiples)
+    for name in (
+        "dedup_clusters_sf10",
+        "dedup_minhash_star_routed_sf10",
+        "session_window_sharded_sf1",
+        "stream_stateful_running_totals_sf1",
+        "stream_session_windows_sf1",
+    ):
+        assert q[name]["ratio"] <= 1.5, (name, q[name])
+
+    ss = data["sessionization_structure"]
+    assert ss["islands_max_sort_partition_rows"] == ss["hot_user_rows"]
+    assert ss["sharded_max_sort_partition_rows"] <= ss["hot_user_rows"] / 5
+    assert ss["hot_user_days"] > 1
 
 
 def test_detect_hot_keys_finds_planted_head(spark, skew_pair):

@@ -218,6 +218,15 @@ def session_window_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("_n"),
             F.sum("value").alias("_val"),
         )
+        # lineage cut before the passthrough/candidate fan-out: without
+        # it each branch re-derives ALL of phase 1 — two full scans and
+        # two (user, day) shuffles of the EVENT stream (seen in the
+        # plan: duplicated Exchange hashpartitioning(user_id, _day)),
+        # the same double-scan anti-pattern the adaptive salted join's
+        # first cut was rejected for. Materialized state is session
+        # rows (5 narrow columns), orders below the corpus; on a real
+        # cluster this is checkpoint() to durable storage.
+        .localCheckpoint(eager=False)
     )
     day_start = F.col("_day").cast("timestamp").cast("double")
     near_boundary = (

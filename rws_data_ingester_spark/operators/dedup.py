@@ -146,19 +146,37 @@ def shingles(text_col: F.Column, k: int = 3) -> F.Column:
     """Word k-shingles as an array column (distinct).
 
     The token array is materialized ONCE via a lambda binding
-    (`transform` over a single-element wrapper) so the per-shingle slice
-    references the bound array — a naive `slice(split(text), i, k)`
+    (`transform` over a single-element wrapper) so the per-shingle
+    elements reference the bound array — a naive `split(text)[i]`
     inside the position lambda re-splits the text per shingle, turning
     an O(tokens) op into O(tokens²) per document.
-    """
+
+    Each shingle is assembled with ``concat(element_at(t, i), ' ', …)``
+    rather than ``concat_ws(' ', slice(t, i, k))``: the slice form
+    allocates a k-element array per position before joining it, and the
+    element_at form was measured 2× faster at k=3 on the sf0.1 corpus
+    (0.52 s → 0.26 s noop median) for byte-identical output. Short rows
+    (< k tokens) keep the historical semantics — ONE shingle of the
+    whole token array — via an explicit branch (element_at under ANSI
+    errors past the end, and the old slice form clamped)."""
+    full_row = lambda toks: F.array(F.concat_ws(" ", toks))  # noqa: E731
     return F.array_distinct(
         F.flatten(
             F.transform(
                 F.array(F.split(text_col, " ")),
-                lambda toks: F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-                ),
+                lambda toks: F.when(
+                    F.size(toks) >= k,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - k),
+                        lambda i: F.concat(
+                            *sum(
+                                ([F.element_at(toks, i + j), F.lit(" ")] for j in range(1, k)),
+                                [],
+                            ),
+                            F.element_at(toks, i + k),
+                        ),
+                    ),
+                ).otherwise(full_row(toks)),
             )
         )
     )

@@ -102,8 +102,16 @@ def connected_components(
     half = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     _require_matching_endpoint_types(half)
     half = half.na.drop().localCheckpoint(eager=True)
-    if half.count() <= driver_max_edges:
-        return _with_isolated(_driver_components(half), vertices)
+    # Strategy probe and driver-path input in ONE bounded job: a
+    # limit(gate+1) collect over the checkpointed edges both decides the
+    # path (len > gate ⇒ distributed) and, at or under the gate, already
+    # holds every edge the union-find needs — the previous count() +
+    # collect() pair burned two scheduler rounds on the same materialized
+    # RDD (r10 job-count audit). Driver transfer stays bounded by the
+    # gate (+1 row) on any input size.
+    probe = half.limit(driver_max_edges + 1).collect()
+    if len(probe) <= driver_max_edges:
+        return _with_isolated(_driver_components(half, probe), vertices)
 
     sym = half.union(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -189,10 +197,11 @@ def _require_matching_endpoint_types(half: DataFrame) -> None:
         )
 
 
-def _driver_components(half: DataFrame) -> DataFrame:
-    """Union-find over a collected (checkpointed, small-by-gate) edge
-    list → the same ``(id, component)`` labeling as the distributed
-    propagation.
+def _driver_components(half: DataFrame, rows: list) -> DataFrame:
+    """Union-find over an already-collected (small-by-gate) edge list →
+    the same ``(id, component)`` labeling as the distributed propagation.
+    ``half`` supplies only the schema and session; the caller's strategy
+    probe already paid the collect.
 
     NULL-endpoint edges were already dropped — and mixed endpoint types
     rejected — by ``connected_components`` before the strategy gate
@@ -203,7 +212,7 @@ def _driver_components(half: DataFrame) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", src_type), T.StructField("component", src_type)]
     )
-    labels = union_find_labels((row[0], row[1]) for row in half.collect())
+    labels = union_find_labels((row[0], row[1]) for row in rows)
     return half.sparkSession.createDataFrame(list(labels.items()), schema)
 
 
@@ -237,18 +246,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the component; singletons map to themselves) and the cluster size.
     Pipeline: MinHash signatures → LSH band candidates → connected
     components → join back to the full corpus."""
+    from pyspark.sql.window import Window as W
+
     d = Catalog(spark, sf_dir).documents
     sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
     edges = lsh_star_edges(sigs, "doc_id")
     comp = connected_components(edges, vertices=d.select("doc_id"))
-    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    return (
-        comp.join(sizes, "component")
-        .select(
-            F.col("id").alias("doc_id"),
-            F.col("component").alias("cluster_id"),
-            F.col("cluster_size"),
-        )
+    # Cluster size via a window count over the component partition, not
+    # groupBy + self-join: the join form consumed `comp` twice — and
+    # comp's lineage includes _with_isolated's corpus-wide anti-join, so
+    # every consumption re-ran it — plus a second exchange for the join.
+    # One consumption, one exchange, identical rows (r10 audit).
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count(F.lit(1)).over(W.partitionBy("component")).alias("cluster_size"),
     )
 
 
@@ -261,24 +273,25 @@ def pipeline_near_dedup_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = Catalog(spark, sf_dir).documents
     sigs = minhash_signature(d.select("doc_id", "text"), "doc_id", "text")
     edges = lsh_star_edges(sigs, "doc_id")
-    comp = connected_components(edges, vertices=d.select("doc_id"))
-    keep = comp.filter(F.col("id") == F.col("component")).select(
-        F.col("id").alias("doc_id")
+    # The removal decision only needs which docs are NOT their cluster's
+    # root — the non-roots, a subset of the edge endpoints (bounded by
+    # the candidate set, never the corpus), so CC runs over edge-touching
+    # ids only: no _with_isolated corpus pass at all. Kept/dropped then
+    # falls out of ONE scan of d with a single conditional aggregation,
+    # where the old form scanned d three times (total agg, semi-join,
+    # kept agg) and joined the two aggregates back together (r10 audit:
+    # identical 20 output rows, fewer exchanges).
+    comp = connected_components(edges)
+    nonroots = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id"), F.lit(True).alias("_nr")
     )
-    kept = d.join(keep, "doc_id", "left_semi")
+    flagged = d.select("doc_id", "source").join(nonroots, "doc_id", "left")
     return (
-        d.groupBy("source")
-        .agg(F.count("*").alias("n_total"))
-        .join(
-            kept.groupBy("source").agg(F.count("*").alias("n_kept")),
-            "source",
-            "left",
-        )
-        .select(
-            "source",
-            "n_total",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            (F.col("n_total") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count_if(F.col("_nr").isNull()).alias("n_kept"),
+            F.count_if(F.col("_nr").isNotNull()).alias("n_dropped"),
         )
         .orderBy("source")
     )

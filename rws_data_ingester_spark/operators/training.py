@@ -67,16 +67,24 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1 = d.join(keepers, "doc_id", "left_semi")
 
     # 2. near-dup removal: MinHash → LSH star edges (linear in bucket
-    #    size) → connected components, keep each cluster root. CC
-    #    checkpoints its labels, so `roots` is a cheap filter over a
-    #    materialized frame — NOT a recomputation of the minhash pipeline.
+    #    size) → connected components over the EDGE-TOUCHING ids only.
+    #    The funnel never needs the full per-vertex labeling — only which
+    #    docs to DROP: the non-roots (id != component), a subset of the
+    #    edge endpoints, i.e. bounded by the candidate set, not the
+    #    corpus. The previous form passed vertices=s1 and derived
+    #    roots = comp.filter(id == component); comp then carried
+    #    _with_isolated's corpus-wide distinct + anti-join + union, and
+    #    `roots` has TWO consumers (the contamination explode and the
+    #    flag join), so that lineage executed twice per run (r10
+    #    measurement: 36 → 30 Spark jobs, identical funnel output).
+    #    roots ≡ s1 ids minus nonroots, so s2 = s1 AND NOT nonroot.
     sigs = minhash_signature(s1.select("doc_id", "text"), "doc_id", "text")
     edges = lsh_star_edges(sigs, "doc_id")
-    comp = connected_components(edges, vertices=s1.select("doc_id"))
-    roots = comp.filter(F.col("id") == F.col("component")).select(
+    comp = connected_components(edges)
+    nonroots = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    # roots ⊆ s1 ids by construction (CC vertices are the s1 ids), so the
+    # nonroots ⊆ edge endpoints ⊆ s1 ids by construction, so the
     # near-dup flag implies the exact-dedup flag.
 
     # 3. quality gate: enough tokens, reasonable mean token length —
@@ -88,7 +96,11 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4. contamination screen: drop docs sharing any 4-gram with the
     #    benchmark set (docs 0-9), benchmark grams broadcast. The explode
     #    runs over quality-gate survivors only — and exactly ONCE.
-    s3_docs = d.filter(q_pred).join(roots, "doc_id", "left_semi")
+    s3_docs = (
+        d.filter(q_pred)
+        .join(keepers, "doc_id", "left_semi")
+        .join(nonroots, "doc_id", "left_anti")
+    )
     # The token array is bound ONCE via the single-element-wrapper trick
     # (transform over array(split(...)) — same as text_contamination): a
     # bare split() referenced inside the per-position lambda is
@@ -136,10 +148,10 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = (
         d.select("doc_id", "n_tokens", "lang", q_pred.alias("_q"))
         .join(keepers.withColumn("_k1", F.lit(True)), "doc_id", "left")
-        .join(roots.withColumn("_k2", F.lit(True)), "doc_id", "left")
+        .join(nonroots.withColumn("_nr", F.lit(True)), "doc_id", "left")
         .join(dirty.withColumn("_dirty", F.lit(True)), "doc_id", "left")
         .withColumn("s1", F.coalesce("_k1", F.lit(False)))
-        .withColumn("s2", F.coalesce("_k2", F.lit(False)))
+        .withColumn("s2", F.col("s1") & F.col("_nr").isNull())
         .withColumn("s3", F.col("s2") & F.col("_q"))
         .withColumn(
             "s4",

@@ -501,16 +501,23 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     # Unscorable embeddings (NULL / NaN / Inf) never form pairs on either
     # engine — see similarity.scorable() and its oracle twin above.
+    # Norm folded once per row before the self-join (bit-identical hoist,
+    # see similarity.embedding_dup_ids — two of the three per-pair HOF
+    # folds removed).
     v = scorable(e).select(
         "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    ).withColumn(
+        "_nrm",
+        F.sqrt(F.expr("aggregate(zip_with(e, e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")),
     )
     a, b = v.alias("a"), v.alias("b")
     dot = F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-    norm_a = F.sqrt(F.expr("aggregate(zip_with(a.e, a.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
-    norm_b = F.sqrt(F.expr("aggregate(zip_with(b.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"))
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id"))
-    ).select(F.col("a.label").alias("label"), (dot / F.nullif(norm_a * norm_b, F.lit(0.0))).alias("sim"))
+    ).select(
+        F.col("a.label").alias("label"),
+        (dot / F.nullif(F.col("a._nrm") * F.col("b._nrm"), F.lit(0.0))).alias("sim"),
+    )
     return pairs.groupBy("label").agg(
         F.count(F.when(F.col("sim") >= 0.9, 1)).alias("n_neardups"),
         (pround(F.avg("sim"), 4) + 0.0).alias("avg_sim"),  # +0.0: -0.0 normalization

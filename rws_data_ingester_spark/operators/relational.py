@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
+from rws_data_ingester_spark.session import local_frame
 
 from rws_data_ingester_spark.functions.timefmt import (  # noqa: F401
     DUCK_TS_FMT,
@@ -292,7 +293,8 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop, which is the right physical plan when one side is a handful of
     interval rows (the O(n·k) BNLJ beats any shuffle)."""
     p = Catalog(spark, sf_dir).part
-    bands = spark.createDataFrame(
+    bands = local_frame(
+        spark,
         [("p0", 0.0, 500.0), ("p1", 500.0, 1000.0), ("p2", 1000.0, 1500.0), ("p3", 1500.0, 100000.0)],
         "band string, lo double, hi double",
     )

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
+from rws_data_ingester_spark.session import local_frame
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
 
@@ -407,7 +408,8 @@ def ivf_index(
         # 0 or 1 scorable vectors: the index is trivial — everything
         # (nothing, or the lone vector) is cell 0.
         assignments = vecs.select("vec_id", F.lit(0).cast("int").alias("centroid_id"))
-        cents = spark.createDataFrame(
+        cents = local_frame(
+            spark,
             [(0, rows[0]["e"])] if rows else [],
             "centroid_id int, centroid array<double>",
         )
@@ -418,7 +420,11 @@ def ivf_index(
 
     x = np.array([r["e"] for r in rows], dtype=np.float64)
     cents_np = _kmeans_np(x, min(n_centroids, len(x)), iters=max_iter, seed=seed)
-    cents = spark.createDataFrame(
+    # local_frame: the centroid table is broadcast by every probe —
+    # plan-embedded LocalRelation instead of a Python-RDD scan job per
+    # consumption (OPTIMIZATION_r10.md section 5)
+    cents = local_frame(
+        spark,
         [(i, [float(v) for v in c]) for i, c in enumerate(cents_np)],
         "centroid_id int, centroid array<double>",
     )

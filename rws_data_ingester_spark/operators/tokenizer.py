@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.session import local_frame
 from rws_data_ingester_spark.plans.registry import query
 
 N_MERGES = 10
@@ -99,8 +100,9 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
         merges.append((rank, a, b, a + b, int(freq)))
         vocab = vocab.withColumn("symbols", _merge_pair(F.col("symbols"), a, b))
         vocab = vocab.localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "merge_rank long, left string, right string, merged string, pair_freq long"
+    return local_frame(
+        spark, merges,
+        "merge_rank long, left string, right string, merged string, pair_freq long",
     )
 
 

@@ -65,3 +65,36 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_frame(spark: SparkSession, rows, schema):
+    """Small driver-side row list → DataFrame planned as a LocalRelation.
+
+    ``createDataFrame(list_of_tuples)`` plans as a Python-RDD-backed
+    ``LogicalRDD``: every CONSUMPTION of the result (each broadcast
+    build, each action) spawns a Python-worker scan job — ~0.3 s of
+    scheduler+fork overhead per use on the r10 box, paid even for a
+    4-row rate table. Routing the rows through pandas takes the Arrow
+    path, which plans as a true ``LocalRelation``: consumers read
+    plan-embedded rows, no job, no Python workers (measured 0.52 s →
+    0.13 s per consuming join; see OPTIMIZATION_r10.md §5). Falls back
+    to the tuple path for row shapes pandas/Arrow rejects — identical
+    rows either way, only the plan node differs.
+
+    Only for driver-materialized lists KNOWN to be small (rate tables,
+    centroids, gate-bounded CC labels): the rows embed in the plan."""
+    rows = list(rows)
+    try:
+        import pandas as pd
+
+        if hasattr(schema, "fieldNames"):  # StructType
+            names = list(schema.fieldNames())
+        elif isinstance(schema, (list, tuple)):  # bare column names
+            names = list(schema)
+        else:  # DDL string: let Spark parse, then name the frame
+            names = spark.createDataFrame([], schema).schema.fieldNames()
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=names), schema
+        )
+    except Exception:  # pragma: no cover - exotic value types / no pandas
+        return spark.createDataFrame(rows, schema)

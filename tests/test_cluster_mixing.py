@@ -443,3 +443,104 @@ def test_driver_union_find_matches_bfs_reference():
         if trial % 3 == 0:
             edges += [(a, b) for b, a in edges[: m // 2]]  # reversed dups
         assert union_find_labels(edges) == bfs_components(edges), f"trial {trial}"
+
+
+def test_driver_cc_labels_plan_as_local_relation(spark):
+    """The driver-path CC labels must plan as a LocalRelation (Arrow
+    createDataFrame), not a Python-RDD-backed LogicalRDD: a LogicalRDD
+    spawns a Python-worker scan job on EVERY consumption of the result
+    (the training funnel consumes it twice per run — r10 measurement:
+    0.52 s → 0.13 s per consuming join). Guards the optimization from
+    silently regressing to the tuple-list path."""
+    edf = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    labels = connected_components(edf)  # 3 edges → driver path
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan, plan
+    assert "LogicalRDD" not in plan, plan
+    assert {r["id"]: r["component"] for r in labels.collect()} == {
+        1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
+    }
+
+
+def test_gram_hash_equivalence_with_string_grams(spark):
+    """The contamination screens carry 4-grams as xxhash64(t0,t1,t2,t3)
+    longs instead of assembled strings. Pin the two properties that make
+    hash equality ⟺ string-gram equality: (1) multi-arg xxhash64 is
+    seed-chained per field, so token-boundary reshuffles that would
+    collide under naive byte concatenation hash differently; (2) on a
+    corpus with shared grams, duplicate docs, empty tokens (double
+    spaces) and short docs, the induced per-doc distinct-gram sets and
+    cross-doc matches are identical between the two forms."""
+    row = spark.range(1)
+    chained = row.select(
+        F.xxhash64(F.lit("ab"), F.lit("c")).alias("x"),
+        F.xxhash64(F.lit("a"), F.lit("bc")).alias("y"),
+    ).first()
+    assert chained["x"] != chained["y"]
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on a rug"),
+            (2, "the cat sat on the mat"),  # exact dup of 0
+            (3, "too short"),
+            (4, "a  b c d e"),  # double space → empty token
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    toks = F.split("text", " ")
+
+    def grams(per_pos):
+        return docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.array(toks),
+                    lambda t: F.when(
+                        F.size(t) >= 4,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(t) - 3), per_pos(t)
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )[0]
+            ).alias("gram"),
+        )
+
+    hashed = grams(
+        lambda t: lambda i: F.xxhash64(
+            F.element_at(t, i), F.element_at(t, i + 1),
+            F.element_at(t, i + 2), F.element_at(t, i + 3),
+        ).cast("string")
+    ).collect()
+    strings = grams(
+        lambda t: lambda i: F.concat(
+            F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1),
+            F.lit(" "), F.element_at(t, i + 2), F.lit(" "),
+            F.element_at(t, i + 3),
+        )
+    ).collect()
+
+    by_doc_h: dict = {}
+    by_doc_s: dict = {}
+    for r in hashed:
+        by_doc_h.setdefault(r["doc_id"], []).append(r["gram"])
+    for r in strings:
+        by_doc_s.setdefault(r["doc_id"], []).append(r["gram"])
+    assert set(by_doc_h) == set(by_doc_s)
+    # same gram multiplicity per doc, and the hash→string map is a
+    # bijection on the observed grams (no collisions, no splits)
+    h2s: dict = {}
+    for doc_id in by_doc_s:
+        hs, ss = by_doc_h[doc_id], by_doc_s[doc_id]
+        assert len(hs) == len(ss)
+        for h, s in zip(hs, ss):
+            assert h2s.setdefault(h, s) == s
+    assert len(set(h2s.values())) == len(h2s)
+    # cross-doc equality structure carries over: dup docs share all
+    # grams, near-dup shares some, short/empty docs emit none
+    assert sorted(by_doc_h[0]) == sorted(by_doc_h[2])
+    assert set(by_doc_h[0]) & set(by_doc_h[1])
+    assert 3 not in by_doc_h and 5 not in by_doc_h

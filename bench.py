@@ -88,7 +88,31 @@ HEADLINE = [
     "join_interval_bucketed",
     "pipeline_semantic_dedup",
     "pipeline_training_data",
+    # round-11 additions (VERDICT r10 item 1): noop-sink twins. count()
+    # lets Catalyst left-join-eliminate the entire pair-scoring subtree
+    # of the embedding-dedup family (unique right keys), so the original
+    # entries time only the eager IVF fit + rollup — the r10 norm-hoist
+    # (−71% on the scorer, measured by noop A/B) was bench-invisible.
+    # Each twin runs the SAME registered query through the noop sink
+    # (guide §1.4), which computes every column of every row, so the
+    # timed plan contains the scoring Join. ADDITIONS only: the original
+    # 24 entries keep their names, count() action and methodology.
+    "pipeline_semantic_dedup_noop",
+    "pipeline_embedding_dedup_noop",
+    "pipeline_embedding_dedup_lsh_noop",
 ]
+
+# twin name -> (registered query, action). "noop" twins time
+# fn().write.format("noop") instead of fn().count(). Kept OUT of the
+# headline total (`value`): the total is a round-over-round continuity
+# metric for the original 24 — adding ~3 full-plan entries to the sum
+# would read as a fake 40% regression. Twin medians are reported under
+# "queries" like everything else and enumerated under "noop_twins".
+NOOP_TWINS = {
+    "pipeline_semantic_dedup_noop": "pipeline_semantic_dedup",
+    "pipeline_embedding_dedup_noop": "pipeline_embedding_dedup",
+    "pipeline_embedding_dedup_lsh_noop": "pipeline_embedding_dedup_lsh",
+}
 
 CPU_CONTROL = "control_cpu_hash16"
 CONTROLS = [
@@ -236,6 +260,9 @@ def main() -> None:
         t0 = time.perf_counter()
         if name == CPU_CONTROL:
             run_cpu_control(spark)
+        elif name in NOOP_TWINS:
+            df = REGISTRY[NOOP_TWINS[name]].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
         else:
             REGISTRY[name].fn(spark, sf_dir).count()
         return round(time.perf_counter() - t0, 3)
@@ -261,7 +288,9 @@ def main() -> None:
     final = passes[-1]
     timings = final["timings"]
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for k, v in timings.items() if k not in NOOP_TWINS), 3
+    )
     samples_path = REPO / "bench_samples.json"
     samples_path.write_text(
         json.dumps(
@@ -300,6 +329,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "runs": {"default": n_runs, **extra_runs},
+                # enumerated so the artifact is self-documenting: these
+                # entries are noop-sink additions NOT counted in `value`
+                "noop_twins": sorted(NOOP_TWINS),
                 "controls": {
                     # the control probe VALUES (not just drift) make the
                     # artifact band-legible on its own: drift measures

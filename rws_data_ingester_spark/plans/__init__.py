@@ -655,18 +655,19 @@ ROUND11_WINDOW = (
 )
 assert len(ROUND11_WINDOW) == 50, len(ROUND11_WINDOW)
 
-# The window the driver's 50-slot gate sees THIS round. Round 10 flips
-# to the staged ROUND10_WINDOW (CORRECTNESS_r09: 50/50 clean — 30
-# oracle pairs rows+schema+hash green + 20 rows-only at design counts):
-# the freshness rotation gives `sink_zorder_pruning` its first driver
-# row on the post-r9-fingerprint-audit code and re-proves the 44
-# round-6-vintage queries now at the freshness boundary (scalar
-# families, window family, minhash/simhash/jaccard dedup, multimodal
-# metadata, text tier, batch-stream twins, ANN variants), plus the 5
-# alphabetically-first round-7 heads. After this lands, no evidence
-# anywhere is older than round 7 (within the 4-round gate). COVERAGE.md
-# keeps the vintage ledger.
-_ACTIVE_WINDOW = ROUND10_WINDOW
+# The window the driver's 50-slot gate sees THIS round. Round 11 flips
+# to the staged ROUND11_WINDOW (CORRECTNESS_r10: 50/50 clean — 39
+# oracle pairs rows+schema+hash green + 11 rows-only at design counts):
+# the freshness rotation gives `join_salted_adaptive` and
+# `session_window_sharded` (both registered in the round-9→10 partial
+# round) their first driver rows, re-proves the 44 round-7-vintage
+# queries now at the freshness boundary (embedding/centroid tier,
+# salted joins, multimodal decode, mix/temperature pipelines, streaming
+# replay twins, text tier 2, timeseries, UDF demos), and starts the
+# round-8 vintage re-proof with its 4 alphabetically-first heads.
+# `text_contamination` sits here too, so the r10 xxhash64-gram rewrite
+# gets its first driver-side oracle row. COVERAGE.md keeps the ledger.
+_ACTIVE_WINDOW = ROUND11_WINDOW
 
 _missing = [n for n in _ACTIVE_WINDOW if n not in REGISTRY]
 assert not _missing, f"active window names not registered: {_missing}"

@@ -149,8 +149,13 @@ def main() -> None:
     # cohort retention, the global sort, and the q18/q21 self-join
     # composites). Override with SPARK_GRAFT_SCALE_EXTRA="" to measure
     # the headline set only, or a comma list to choose.
-    from bench import HEADLINE as BENCH_HEADLINE
+    from bench import HEADLINE as _BENCH_HEADLINE, NOOP_TWINS
     from rws_data_ingester_spark.plans import REGISTRY
+
+    # The noop-sink twins are bench-only re-timings of queries already in
+    # the headline set (same registered fn, different action) — scaling
+    # curves measure the registered queries, so the twins add nothing here.
+    BENCH_HEADLINE = [n for n in _BENCH_HEADLINE if n not in NOOP_TWINS]
 
     extra_env = os.environ.get(
         "SPARK_GRAFT_SCALE_EXTRA",

@@ -28,6 +28,21 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Parquet SCHEMA cache, (applicationId, absolute path) -> StructType.
+# ``spark.read.parquet`` without an explicit schema runs a one-task
+# footer-inference job at DataFrame CONSTRUCTION time — and every query
+# builds a fresh Catalog per invocation, so a 6-table TPC-H composite
+# paid six ~55 ms inference jobs per run (~0.3 s of q5's 0.88 s at
+# sf0.1, measured r11). A production catalog (HMS/Iceberg/Delta) serves
+# the schema from metadata instead of re-reading footers per query;
+# this cache is that behavior for the path-based fixture tables.
+# METADATA ONLY — never rows, never results: the first load of a table
+# in a session still runs Spark's own inference (identical schema by
+# construction), later loads pass it explicitly. Keyed by applicationId
+# so a new session (new driver run, possibly regenerated fixtures)
+# re-probes the footers; fixture files are static within a session.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
+
 # Dimension tables small enough to broadcast at any realistic scale factor —
 # a 100 TB fact table still joins against ~KB-MB dims; broadcasting them
 # removes the shuffle on the fact side entirely.
@@ -51,7 +66,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # CAST/arithmetic failures to NULLs and drift from the oracle, so pin
     # it per-load like the TZ, not only in the session factory.
     spark.conf.set("spark.sql.ansi.enabled", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
     return df

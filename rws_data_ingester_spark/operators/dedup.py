@@ -182,6 +182,26 @@ def shingles(text_col: F.Column, k: int = 3) -> F.Column:
     )
 
 
+def _shingles_sql(tcol_sql: str, k: int) -> str:
+    """SQL-text rendering of ``shingles()`` (same element_at+concat gram
+    assembly, same short-row whole-array branch). INTERNAL CALLERS ONLY:
+    ``tcol_sql`` is interpolated into SQL text — callers must pass an
+    already-backtick-escaped internal column name, never external input.
+    Kept as one function so the parsed form and the exported Column form
+    cannot silently diverge (equivalence pinned by
+    tests/test_dedup_similarity.py::test_minhash_sql_shingles_match_shingles)."""
+    gram = "concat(" + ", ' ', ".join(
+        f"element_at(toks, i + {j})" for j in range(1, k + 1)
+    ) + ")"
+    return (
+        "array_distinct(flatten(transform("
+        f"array(split(`{tcol_sql}`, ' ')), "
+        f"toks -> CASE WHEN size(toks) >= {k} "
+        f"THEN transform(sequence(0, size(toks) - {k}), i -> {gram}) "
+        "ELSE array(concat_ws(' ', toks)) END)))"
+    )
+
+
 def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int = 16, k: int = 3) -> DataFrame:
     """MinHash signatures, computed entirely WITHIN each row: ONE xxhash64
     per shingle, then num_hashes affine universal-hash transforms
@@ -222,19 +242,14 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str, num_hashes: int
     coeffs = [
         (rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)
     ]
-    # SQL-text twin of shingles(): same element_at+concat gram assembly,
-    # same short-row whole-array branch (byte-identical output, pinned by
-    # the old-vs-new identity check run when this form landed).
+    # SQL-text twin of shingles() — single source of truth in
+    # _shingles_sql below, pinned equal to the exported shingles() by
+    # tests/test_dedup_similarity.py::test_minhash_sql_shingles_match_shingles
+    # (r10 ADVICE: a future edit to shingles() must not silently diverge
+    # from this signature path).
     tcol = text_col.replace("`", "``")
-    gram = "concat(" + ", ' ', ".join(
-        f"element_at(toks, i + {j})" for j in range(1, k + 1)
-    ) + ")"
     shingle_hashes = (
-        "transform(array_distinct(flatten(transform("
-        f"array(split(`{tcol}`, ' ')), "
-        f"toks -> CASE WHEN size(toks) >= {k} "
-        f"THEN transform(sequence(0, size(toks) - {k}), i -> {gram}) "
-        "ELSE array(concat_ws(' ', toks)) END))), "
+        f"transform({_shingles_sql(tcol, k)}, "
         f"s -> pmod(xxhash64(s), {_P}L))"
     )
     mins = ", ".join(

@@ -15,6 +15,8 @@ shuffle on user_id + a per-partition sort — linear, no cross-user state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -100,11 +102,54 @@ _SESSION_ORACLE = """
 """
 
 
+def _events_input_bytes(sf_dir: str) -> int:
+    """Driver-side size of the events input (file or directory tree of
+    parquet parts) — a metadata stat, no Spark job. Unreadable/exotic
+    paths report "huge" so the dispatch below fails toward the
+    skew-safe sharded plan, never toward the single-hot-task one."""
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, files in os.walk(path)
+                for f in files
+            )
+    except OSError:
+        pass
+    return 1 << 62
+
+
+# Input size at which session_window_islands dispatches to the
+# (user_id, day)-sharded formulation. The r11 interleaved A/B measured
+# the sharded form +72% at sf0.1 (0.529 → 0.911 s median of 9): its
+# lineage cut + boundary-merge phase is pure overhead on a corpus with
+# no dominating user, so it must not be the unconditional plan. Above
+# this size the exposure flips: the plain form's one shuffle key is
+# bare user_id, so a single hot user (SKEW fixtures plant one with 10%
+# of events) lands on ONE task whose sort is that user's whole history,
+# while the sharded form bounds every phase-1 task to one user-day and
+# its constant overhead amortizes to noise. 4 GiB keeps every local
+# fixture (sf0.1 events ≈ tens of MB) on the measured plain plan;
+# production sets SPARK_GRAFT_SESSION_SHARD_MIN_BYTES to taste — both
+# paths are row-identical (equivalence-tested) and share one oracle.
+_SESSION_SHARD_MIN_BYTES_ENV = "SPARK_GRAFT_SESSION_SHARD_MIN_BYTES"
+_SESSION_SHARD_MIN_BYTES_DEFAULT = 4 * 1024**3
+
+
 @query("session_window_islands", oracle=_SESSION_ORACLE)
 def session_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization via the gaps-and-islands formulation: flag rows whose
     gap from the previous event EXCEEDS 30 min, running-sum the flags into
     a session id, then aggregate. One shuffle on user_id; linear per user.
+
+    Size-gated dispatch (r10 VERDICT item 4): above
+    ``$SPARK_GRAFT_SESSION_SHARD_MIN_BYTES`` (default 4 GiB) of events
+    input this returns the row-identical (user_id, day)-sharded
+    formulation instead, which bounds the per-task sort to one user-day
+    — see ``session_window_sharded`` and the threshold comment above.
 
     Boundary contract: a gap of EXACTLY 30 minutes stays in the same
     session (strict >) — that is Spark's native session_window semantic
@@ -117,6 +162,13 @@ def session_window_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL event time is excluded — Spark's native session_window/window
     drop such rows, so every formulation (and the oracle) states the
     same: a row with no timestamp belongs to no time window."""
+    gate = int(
+        os.environ.get(
+            _SESSION_SHARD_MIN_BYTES_ENV, _SESSION_SHARD_MIN_BYTES_DEFAULT
+        )
+    )
+    if _events_input_bytes(sf_dir) >= gate:
+        return session_window_sharded(spark, sf_dir)
     ev = Catalog(spark, sf_dir).events.filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(W.unboundedPreceding, 0)

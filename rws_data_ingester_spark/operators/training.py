@@ -31,8 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql import types as T
 
 from rws_data_ingester_spark.catalog import Catalog
+from rws_data_ingester_spark.session import local_frame
 from rws_data_ingester_spark.operators.cluster import connected_components
 from rws_data_ingester_spark.operators.dedup import (
     lsh_star_edges,
@@ -40,6 +42,12 @@ from rws_data_ingester_spark.operators.dedup import (
 )
 from rws_data_ingester_spark.operators.packing import pack_sequences
 from rws_data_ingester_spark.plans.registry import query
+
+# Phase-1 shard count for the per-language contribution cap: a hot
+# language's stage-4 survivors spread over this many tasks before the
+# exact per-lang rank. Deterministic (xxhash64 of doc_id, guide §2.5),
+# so task retries reproduce the same split.
+_CAP_SHARDS = 64
 
 
 @query("pipeline_training_data", oracle=None)  # minhash/packing inside → rows-only
@@ -56,15 +64,28 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage id-sets -------------------------------------------------------
     # 1. exact dedup: keep min doc_id per content hash (bodies never shuffle).
-    #    Checkpointed (lazily) because it has two consumers on different
-    #    timelines: the near-dup chain below executes it at CONSTRUCTION
-    #    time (inside the CC edge checkpoint), and the flag-cascade join
-    #    executes at action time — without the cut, the content-hash agg
-    #    runs twice. Materialized state is one long per surviving doc.
+    #    Carried as the DUPES complement (docs whose id is NOT their
+    #    group's min — ``d ▷ keepers`` is exactly ``NOT (d ⋉ keepers)``
+    #    because doc_id is unique and belongs to one hash group): dupes is
+    #    the set every consumer actually tests membership against, and it
+    #    scales with the DUPLICATES, not the corpus. r10 carried `keepers`
+    #    (one id per distinct hash ≈ corpus-sized) through a checkpoint
+    #    plus one corpus-sized broadcast build PER consumer (~0.4 s each
+    #    at sf0.1, ×2 in the flag-frame block alone; broadcast reuse
+    #    refuted — column pruning de-canonicalizes the subtrees). The
+    #    groupBy(hash) partial aggregation is kept (skew-immune: a viral
+    #    doc's copies partial-aggregate map-side); only the attach side
+    #    shrinks. The anti-join below runs ONCE, inside the CC edge
+    #    materialization, and its small result is the checkpointed state.
     keepers = d.groupBy(F.sha2("text", 256).alias("h")).agg(
         F.min("doc_id").alias("doc_id")
-    ).select("doc_id").localCheckpoint(eager=False)
-    s1 = d.join(keepers, "doc_id", "left_semi")
+    ).select("doc_id")
+    dupes = (
+        d.select("doc_id")
+        .join(keepers, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    s1 = d.join(dupes, "doc_id", "left_anti")
 
     # 2. near-dup removal: MinHash → LSH star edges (linear in bucket
     #    size) → connected components over the EDGE-TOUCHING ids only.
@@ -98,7 +119,7 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    runs over quality-gate survivors only — and exactly ONCE.
     s3_docs = (
         d.filter(q_pred)
-        .join(keepers, "doc_id", "left_semi")
+        .join(dupes, "doc_id", "left_anti")
         .join(nonroots, "doc_id", "left_anti")
     )
     # The token array is bound ONCE via the single-element-wrapper trick
@@ -121,24 +142,21 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # strings (LongHashedRelation probe), and anything that shuffles
     # carries 8-byte keys — measured 0.50 s → 0.40 s on the corpus-wide
     # pass at sf0.1, identical dirty ids.
+    # Built as ONE SQL parse (the r10 minhash_signature trick, extended
+    # here in r11): the python-lambda form of this expression costs
+    # ~110 ms of py4j/analysis PER fn() CALL at construction time — real
+    # bench seconds, since the bench times fn()+count(). Expression tree
+    # is identical to the lambda form (verified row-identical).
     grams = s3_docs.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.array(F.split("text", " ")),
-                lambda t: F.when(
-                    F.size(t) >= 4,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(t) - 3),
-                        lambda i: F.xxhash64(
-                            F.element_at(t, i),
-                            F.element_at(t, i + 1),
-                            F.element_at(t, i + 2),
-                            F.element_at(t, i + 3),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<bigint>")),
-            )[0]
+            F.expr(
+                "transform(array(split(text, ' ')), t -> CASE WHEN size(t) >= 4"
+                " THEN transform(sequence(1, size(t) - 3),"
+                " i -> xxhash64(element_at(t, i), element_at(t, i + 1),"
+                " element_at(t, i + 2), element_at(t, i + 3)))"
+                " ELSE CAST(array() AS array<bigint>) END)[0]"
+            )
         ).alias("gram"),
     )
     bench = grams.filter(F.col("doc_id") < 10).select("gram").distinct()
@@ -152,77 +170,119 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flag cascade --------------------------------------------------------
     # One narrow frame, one row per raw doc; every stage id-set joins on
     # doc_id so the exchange is reused across the join chain. Bodies are
-    # dropped before the first join.
+    # dropped before the first join. Kept as THREE separate left joins
+    # on purpose: merging them into one union-tagged marks table was
+    # measured in r11 at +6% wall — the three broadcast builds execute
+    # concurrently on broadcast threads, and the merged form serialized
+    # them behind one union+aggregate exchange.
+    # The cascade is ONE select, not a withColumn chain: every
+    # withColumn is a full eager analysis pass over this plan — which
+    # contains the whole grams/dirty subtree — so the r10 five-step
+    # chain re-analyzed that tree five times per fn() call (~0.1 s of
+    # driver time). The flags inline their predecessors; the optimizer's
+    # projection collapse produced the same physical expressions either
+    # way.
+    _s1 = F.col("_dup").isNull()
+    _s2 = _s1 & F.col("_nr").isNull()
+    _s3 = _s2 & F.col("_q")
+    _s4 = _s3 & (F.col("doc_id") >= 10) & ~F.coalesce("_dirty", F.lit(False))
     ann = (
         d.select("doc_id", "n_tokens", "lang", q_pred.alias("_q"))
-        .join(keepers.withColumn("_k1", F.lit(True)), "doc_id", "left")
+        .join(dupes.withColumn("_dup", F.lit(True)), "doc_id", "left")
         .join(nonroots.withColumn("_nr", F.lit(True)), "doc_id", "left")
         .join(dirty.withColumn("_dirty", F.lit(True)), "doc_id", "left")
-        .withColumn("s1", F.coalesce("_k1", F.lit(False)))
-        .withColumn("s2", F.col("s1") & F.col("_nr").isNull())
-        .withColumn("s3", F.col("s2") & F.col("_q"))
-        .withColumn(
-            "s4",
-            F.col("s3")
-            & (F.col("doc_id") >= 10)
-            & ~F.coalesce("_dirty", F.lit(False)),
+        .select(
+            "doc_id",
+            "n_tokens",
+            "lang",
+            _s1.alias("s1"),
+            _s2.alias("s2"),
+            _s3.alias("s3"),
+            _s4.alias("s4"),
         )
-        .select("doc_id", "n_tokens", "lang", "s1", "s2", "s3", "s4")
         .localCheckpoint(eager=False)
     )
 
     # 5. per-language contribution cap (deterministic md5 rank) over the
-    #    stage-4 survivors; capped ids join back onto the flag frame.
-    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")))
-    capped = (
-        ann.filter("s4")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
-        .select("doc_id")
-    )
-    ann5 = (
-        ann.join(capped.withColumn("_k5", F.lit(True)), "doc_id", "left")
-        .withColumn("s5", F.col("s4") & F.coalesce("_k5", F.lit(False)))
-        .select("doc_id", "n_tokens", "lang", "s1", "s2", "s3", "s4", "s5")
-        .localCheckpoint(eager=False)
-    )
-
-    # Funnel: ONE conditional aggregation, unpivoted to stage rows -------
-    def surv(flag: str | None, tag: str):
-        cond_rows = F.count("*") if flag is None else F.sum(F.col(flag).cast("long"))
-        cond_tok = (
-            F.sum("n_tokens")
-            if flag is None
-            else F.sum(F.when(F.col(flag), F.col("n_tokens")))
+    #    stage-4 survivors. Two-phase, skew-safe (guide §2.5 two-level
+    #    aggregation): rank within (lang, shard) first — `lang` is
+    #    low-cardinality, so a one-phase window puts a hot language's
+    #    entire survivor set on ONE task at 100 TB; the deterministic
+    #    xxhash64 shard spreads it over _CAP_SHARDS tasks — keep each
+    #    shard's top-`cap`, then exact-rank the ≤ cap×_CAP_SHARDS
+    #    finalists per lang. Exact: a global top-100-by-md5 member is
+    #    top-≤100 within its own shard, so phase 1 never drops one.
+    #    The capped ids (≤ 100 per language BY CONSTRUCTION — the same
+    #    bounded row set the r10 plan built a broadcast from) come back
+    #    to the driver once and re-plan as a LocalRelation, so both
+    #    consumers of the s5 flag (funnel aggregate, packing) attach it
+    #    map-side from plan-embedded rows: no second corpus-frame
+    #    localCheckpoint (r10's ann5), no broadcast-build job per
+    #    consumer. Same gate-bounded-collect class as the CC probe.
+    rank_key = F.md5(F.col("doc_id").cast("string"))
+    w_shard = Window.partitionBy(
+        "lang", F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SHARDS))
+    ).orderBy(rank_key)
+    w = Window.partitionBy("lang").orderBy(rank_key)
+    capped_ids = [
+        r[0]
+        for r in (
+            ann.filter("s4")
+            .select("doc_id", "lang", F.row_number().over(w_shard).alias("rn1"))
+            .filter(F.col("rn1") <= 100)
+            .select("doc_id", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= 100)
+            .select("doc_id")
+            .collect()
         )
-        return [
-            cond_rows.cast("long").alias(f"r_{tag}"),
-            F.coalesce(cond_tok, F.lit(0)).cast("long").alias(f"t_{tag}"),
-        ]
-
-    wide = ann5.agg(
-        *surv(None, "raw"),
-        *surv("s1", "exact_dedup"),
-        *surv("s2", "near_dedup"),
-        *surv("s3", "quality_gate"),
-        *surv("s4", "decontaminated"),
-        *surv("s5", "lang_capped"),
+    ]
+    capped = local_frame(
+        spark,
+        [(i,) for i in capped_ids],
+        T.StructType([T.StructField("doc_id", ann.schema["doc_id"].dataType)]),
     )
+    ann5 = ann.join(capped.withColumn("_k5", F.lit(True)), "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "lang",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        (F.col("s4") & F.coalesce("_k5", F.lit(False))).alias("s5"),
+    )
+
+    # Funnel: ONE conditional aggregation, unpivoted to stage rows. The
+    # whole aggregate→struct-array is ONE SQL parse: the column-object
+    # form (12 aggregate columns + 6 struct literals) cost ~270 ms of
+    # construction-time py4j/analysis per fn() call vs ~85 ms for the
+    # single parse — same schema, same rows (verified both).
+    def surv_sql(i: int, name: str, flag: str | None) -> str:
+        if flag is None:
+            n_rows = "cast(count(*) as bigint)"
+            n_tok = "cast(coalesce(sum(n_tokens), 0) as bigint)"
+        else:
+            n_rows = f"cast(sum(cast({flag} as bigint)) as bigint)"
+            n_tok = (
+                f"cast(coalesce(sum(CASE WHEN {flag} THEN n_tokens END), 0)"
+                " as bigint)"
+            )
+        return (
+            f"named_struct('stage_order', {i}, 'stage', '{name}',"
+            f" 'n_rows', {n_rows}, 'n_tokens', {n_tok})"
+        )
+
     stages = ["raw", "exact_dedup", "near_dedup", "quality_gate",
               "decontaminated", "lang_capped"]
-    funnel = wide.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("stage_order"),
-                    F.lit(name).alias("stage"),
-                    F.col(f"r_{name}").alias("n_rows"),
-                    F.col(f"t_{name}").alias("n_tokens"),
-                )
-                for i, name in enumerate(stages)
-            ])
-        ).alias("row")
-    ).select("row.*")
+    agg_sql = "array(" + ", ".join(
+        surv_sql(i, name, None if i == 0 else f"s{i}")
+        for i, name in enumerate(stages)
+    ) + ")"
+    funnel = (
+        ann5.agg(F.expr(agg_sql).alias("rows"))
+        .select(F.explode("rows").alias("row"))
+        .select("row.*")
+    )
 
     # 6. pack into 256-token sequences (second consumer of the flag frame)
     packed = pack_sequences(ann5.filter("s5").select("doc_id", "n_tokens"), budget=256)

@@ -52,6 +52,13 @@ def get_spark(
         # errors into silent NULL drift.
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local_frame() falls back to the verifying tuple path on ANY
+        # Arrow/pandas failure; with the default convertToArrowArraySafely
+        # =false a mistyped driver-side literal (int64 overflow into an
+        # int column, float truncation) would be silently coerced instead
+        # of raising into that fallback (r10 ADVICE). Safe conversion
+        # costs nothing at our LocalRelation sizes.
+        .config("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
         # so read as long and convert in the catalog (ns → µs truncation,

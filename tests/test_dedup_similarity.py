@@ -273,3 +273,32 @@ def test_banded_hyperplane_signature_beyond_word_width(spark):
     wide = cand_frac(8, 16)   # 128 planes — impossible on the packed path
     narrow = cand_frac(4, 4)
     assert wide < narrow, (wide, narrow)
+
+
+def test_minhash_sql_shingles_match_shingles(spark):
+    """r10 ADVICE regression pin: minhash_signature's SQL-text gram
+    assembly (_shingles_sql) must stay byte-identical to the exported,
+    property-tested shingles() Column form on a torture corpus — short
+    rows (< k tokens), double spaces, empty string, NULL text, exactly-k
+    tokens, long rows. A future edit to either form that diverges fails
+    here instead of silently changing MinHash signatures."""
+    from rws_data_ingester_spark.operators.dedup import _shingles_sql, shingles
+
+    rows = [
+        (0, "one"),
+        (1, "two words"),
+        (2, "exactly three tokens"),
+        (3, "now four whole tokens"),
+        (4, "a b c d e f g h i j k"),
+        (5, "double  space   runs tokenize as empty strings"),
+        (6, ""),
+        (7, None),
+        (8, "repeat repeat repeat repeat repeat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    both = df.select(
+        shingles(F.col("text"), 3).alias("col_form"),
+        F.expr(_shingles_sql("text", 3)).alias("sql_form"),
+    ).collect()
+    for r in both:
+        assert r["col_form"] == r["sql_form"], r

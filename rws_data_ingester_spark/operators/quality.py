@@ -222,19 +222,32 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: centroid fit runs on a sample, assignment is one broadcast
     pass (16 centroids × dim floats), the pair space is Σ|cell|², and the
-    final anti-join ships ids only."""
+    final anti-join ships ids only.
+
+    The cell id is computed INLINE in the projection that carries label
+    and the cast vector (r11, guide §2.1): the former
+    ``e.join(assignments, "vec_id")`` re-scanned the corpus and joined
+    two corpus-sized sides on vec_id purely to attach the int cell id
+    the assignment scan had just computed map-side. Same centroids, same
+    argmin → identical cells; rows verified identical at sf0.1."""
     from rws_data_ingester_spark.operators.similarity import (
         _as_double,
+        _cell_expr,
+        _ivf_fit,
         embedding_dup_ids,
-        ivf_index,
+        scorable,
     )
 
     e = Catalog(spark, sf_dir).embeddings
-    assignments, _ = ivf_index(e.select("vec_id", "embedding"))
-    v = (
-        e.select("vec_id", "label", _as_double("embedding").alias("e"))
-        .join(assignments, "vec_id")
+    cents_np, _ = _ivf_fit(e.select("vec_id", "embedding"))
+    cell = (
+        F.lit(0).cast("int")
+        if cents_np is None
+        else _cell_expr(F.col("e"), cents_np)
     )
+    v = scorable(e).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    ).select("vec_id", "label", "e", cell.alias("centroid_id"))
     dup_ids = embedding_dup_ids(v, ["centroid_id"], threshold=0.9)
     flagged = e.select("vec_id", "label").join(
         dup_ids.withColumn("is_dup", F.lit(1)), "vec_id", "left"

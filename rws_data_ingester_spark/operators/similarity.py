@@ -184,6 +184,20 @@ def simsearch_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH — the approximate scale path (rows-only check;
 # recall vs the exact path is asserted in tests/test_similarity.py).
 # --------------------------------------------------------------------------
+def _plane_dot(e_col: F.Column, plane) -> F.Column:
+    """Fold one hyperplane (a driver-side float row) against an
+    ALREADY-cast float64 array column. Same zip_with/aggregate chain the
+    per-plane form used — only where the float32→float64 cast happens
+    moves (once per row instead of once per plane per row), so the dot
+    value is bit-identical."""
+    plane_lit = F.array(*[F.lit(float(x)) for x in plane])
+    return F.aggregate(
+        F.zip_with(e_col, plane_lit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def hyperplane_signature(df: DataFrame, dim: int | None = None, n_planes: int = 16, seed: int = 42) -> DataFrame:
     """Sign-bit signature under fixed random hyperplanes. The hyperplane
     matrix is generated once on the driver (seeded → deterministic) and
@@ -197,6 +211,15 @@ def hyperplane_signature(df: DataFrame, dim: int | None = None, n_planes: int = 
     all vectors land in a single bucket and the "bucketed" probe
     degrades to an all-pairs scan.
 
+    The float32→float64 cast of the embedding is bound ONCE per row
+    (`_e` in its own projection — CollapseProject never inlines a
+    non-cheap expr referenced more than once): the historical
+    per-plane `transform(embedding, cast)` re-cast and re-allocated the
+    array n_planes times per row, pure interpreted-HOF overhead since
+    every plane folds the same values (r11, guide §1.2 per-task work;
+    bit-identical signatures, pinned by the packed-vs-banded equality
+    test).
+
     n_planes is capped at 62: bit i is encoded as +2^i into a signed
     64-bit ``lsh_sig``, so 2^63 would overflow the long. Wider signatures
     belong in multiple sig columns (one per 62-bit word), not one long."""
@@ -206,17 +229,16 @@ def hyperplane_signature(df: DataFrame, dim: int | None = None, n_planes: int = 
         dim = modal_dim(df) or 1
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
-    sig_bits = []
-    for i in range(n_planes):
-        plane_lit = F.array(*[F.lit(float(x)) for x in planes[i]])
-        dot = F.expr(
-            f"aggregate(zip_with(transform(embedding, x -> cast(x as double)), "
-            f"plane_{i}, (a, b) -> a * b), cast(0.0 as double), (acc, x) -> acc + x)"
-        )
-        df = df.withColumn(f"plane_{i}", plane_lit)
-        sig_bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** i))
-    out = df.withColumn("lsh_sig", sum(sig_bits[1:], sig_bits[0]).cast("long"))
-    return out.drop(*[f"plane_{i}" for i in range(n_planes)])
+    sig_bits = [
+        F.when(_plane_dot(F.col("_e"), planes[i]) > 0, F.lit(1)).otherwise(F.lit(0))
+        * (2 ** i)
+        for i in range(n_planes)
+    ]
+    return (
+        df.withColumn("_e", _as_double("embedding"))
+        .withColumn("lsh_sig", sum(sig_bits[1:], sig_bits[0]).cast("long"))
+        .drop("_e")
+    )
 
 
 def banded_hyperplane_signature(
@@ -244,34 +266,44 @@ def banded_hyperplane_signature(
         raise ValueError(f"band_bits must be in [1, 62], got {band_bits}")
     if dim is None:  # corpus modal dimension — see hyperplane_signature
         dim = modal_dim(df) or 1
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(n_bands * band_bits, dim)
+    planes = np.random.RandomState(seed).randn(n_bands * band_bits, dim)
+    return (
+        # cast bound once per row, not once per plane per row — see
+        # hyperplane_signature (bit-identical band values)
+        df.select("vec_id", _as_double("embedding").alias("_e"))
+        .select(
+            "vec_id",
+            F.explode(
+                _band_structs(F.col("_e"), planes, n_bands, band_bits)
+            ).alias("band"),
+        )
+        .select("vec_id", "band.band_id", "band.band_val")
+    )
+
+
+def _band_structs(
+    e_col: F.Column, planes, n_bands: int, band_bits: int
+) -> F.Column:
+    """Array of (band_id, band_val) structs over an ALREADY-cast float64
+    array column — the band assembly of ``banded_hyperplane_signature``,
+    factored out so blocking pipelines can compute bands INLINE in the
+    projection that already carries label/norm (no join back on vec_id)."""
     bands = []
     for b in range(n_bands):
-        bits = []
-        for i in range(band_bits):
-            p = planes[b * band_bits + i]
-            plane_lit = F.array(*[F.lit(float(x)) for x in p])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.transform("embedding", lambda x: x.cast("double")),
-                    plane_lit,
-                    lambda a, c: a * c,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(dot > 0, F.lit(2 ** i)).otherwise(F.lit(0)))
+        bits = [
+            F.when(
+                _plane_dot(e_col, planes[b * band_bits + i]) > 0,
+                F.lit(2 ** i),
+            ).otherwise(F.lit(0))
+            for i in range(band_bits)
+        ]
         bands.append(
             F.struct(
                 F.lit(b).alias("band_id"),
                 sum(bits[1:], bits[0]).cast("long").alias("band_val"),
             )
         )
-    return (
-        df.select("vec_id", F.explode(F.array(*bands)).alias("band"))
-        .select("vec_id", "band.band_id", "band.band_val")
-    )
+    return F.array(*bands)
 
 
 def banded_signature(
@@ -397,14 +429,10 @@ def ivf_index(
     by tests/test_file_layout_invariance.py). A hash-ordered sample is a
     TakeOrdered (top-k per partition, merged) — deterministic under any
     layout and partitioning — and the numpy Lloyd's over it is seeded."""
-    # Unscorable vectors (NULL/NaN/Inf/off-dim) are simply not indexed
-    # (removal pipelines keep them, probes can't return them).
+    cents_np, rows = _ivf_fit(emb, n_centroids, seed, max_iter, sample_n)
     vecs = scorable(emb).select("vec_id", _as_double("embedding").alias("e"))
     spark = emb.sparkSession
-    # xxhash64 order = deterministic pseudo-random sample (unbiased by
-    # ingest order, identical on any layout); vec_id tiebreak is total.
-    rows = vecs.orderBy(F.xxhash64("vec_id"), "vec_id").limit(sample_n).collect()
-    if len(rows) < 2:
+    if cents_np is None:
         # 0 or 1 scorable vectors: the index is trivial — everything
         # (nothing, or the lone vector) is cell 0.
         assignments = vecs.select("vec_id", F.lit(0).cast("int").alias("centroid_id"))
@@ -414,12 +442,6 @@ def ivf_index(
             "centroid_id int, centroid array<double>",
         )
         return assignments, cents
-    # function-level import: vectors.py imports similarity at module
-    # scope, so the reverse edge must stay lazy to avoid a cycle
-    from rws_data_ingester_spark.operators.vectors import _kmeans_np
-
-    x = np.array([r["e"] for r in rows], dtype=np.float64)
-    cents_np = _kmeans_np(x, min(n_centroids, len(x)), iters=max_iter, seed=seed)
     # local_frame: the centroid table is broadcast by every probe —
     # plan-embedded LocalRelation instead of a Python-RDD scan job per
     # consumption (OPTIMIZATION_r10.md section 5)
@@ -428,6 +450,45 @@ def ivf_index(
         [(i, [float(v) for v in c]) for i, c in enumerate(cents_np)],
         "centroid_id int, centroid array<double>",
     )
+    assignments = vecs.select(
+        "vec_id", _cell_expr(F.col("e"), cents_np).alias("centroid_id")
+    )
+    return assignments, cents
+
+
+def _ivf_fit(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    sample_n: int = 1024,
+) -> tuple[list | None, list]:
+    """The driver-side half of ``ivf_index``: deterministic hash-ordered
+    sample → seeded numpy Lloyd's → (centroid array, sample rows), or
+    (None, rows) when fewer than 2 scorable vectors exist (the trivial
+    everything-is-cell-0 index). Factored out (r11) so blocking
+    pipelines can inline the assignment expression (``_cell_expr``) into
+    the projection that already carries their own columns instead of
+    joining ``assignments`` back against the corpus on vec_id."""
+    # Unscorable vectors (NULL/NaN/Inf/off-dim) are simply not indexed
+    # (removal pipelines keep them, probes can't return them).
+    vecs = scorable(emb).select("vec_id", _as_double("embedding").alias("e"))
+    # xxhash64 order = deterministic pseudo-random sample (unbiased by
+    # ingest order, identical on any layout); vec_id tiebreak is total.
+    rows = vecs.orderBy(F.xxhash64("vec_id"), "vec_id").limit(sample_n).collect()
+    if len(rows) < 2:
+        return None, rows
+    # function-level import: vectors.py imports similarity at module
+    # scope, so the reverse edge must stay lazy to avoid a cycle
+    from rws_data_ingester_spark.operators.vectors import _kmeans_np
+
+    x = np.array([r["e"] for r in rows], dtype=np.float64)
+    return _kmeans_np(x, min(n_centroids, len(x)), iters=max_iter, seed=seed), rows
+
+
+def _cell_expr(e_col: F.Column, cents_np) -> F.Column:
+    """Map-side argmin cell assignment against the centroid literals —
+    one int per row, no shuffle, no Python boundary."""
     cent_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in cents_np]
     )
@@ -452,20 +513,21 @@ def ivf_index(
     # single-element transform(array(e), ...) wrapper: the embedding is
     # materialized once per row instead of re-read per centroid element
     # (the SCALE.md outer-column-in-HOF rule).
-    assignments = vecs.select(
-        "vec_id",
-        F.element_at(F.transform(F.array("e"), _argmin_cell), 1)
-        .cast("int")
-        .alias("centroid_id"),
-    )
-    return assignments, cents
+    return F.element_at(F.transform(F.array(e_col), _argmin_cell), 1).cast("int")
 
 
 @query("simsearch_topk_ivf", oracle=None)  # approx (kmeans-dependent) → rows-only
 def simsearch_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via IVF: rank the 16 cells per query by L2
     distance to the centroid, probe the 4 nearest, exact cosine inside the
-    probed cells only. Recall vs the exact path is asserted in tests."""
+    probed cells only. Recall vs the exact path is asserted in tests.
+
+    Kept as assignment-scan + vec_id join ON MEASUREMENT (r11):
+    computing the cell id inline on the corpus side (one scan, one fewer
+    join) read +5% at sf0.1 and +16% at the multi-file sf1 clone — the
+    16-centroid argmin is the dominant per-row cost here, and the join
+    form overlaps it across the probe build instead of serializing it
+    into the scored-side pipeline. Row-identical either way."""
     nprobe = 4
     e = Catalog(spark, sf_dir).embeddings
     assignments, cents = ivf_index(e.select("vec_id", "embedding"))
@@ -608,9 +670,12 @@ def embedding_dup_ids(
     The norm is folded once per ROW before the self-join (O(n) folds) —
     per-pair it re-ran two of the three zip_with/aggregate chains for
     every pair in the block: bit-identical hoist, measured 8.8 s →
-    2.6 s noop at sf0.1 on the k-means-cell blocking (r10 A/B)."""
+    2.6 s noop at sf0.1 on the k-means-cell blocking (r10 A/B). A caller
+    whose blocking EXPLODES rows (LSH bands: ×n_bands rows per vector)
+    can pass ``_nrm`` pre-folded per VECTOR, before its explode — the
+    same value this would compute, one fold earlier (r11)."""
     nrm = F.sqrt(F.expr(_DOT.format(a="e", b="e")))
-    vn = v.withColumn("_nrm", nrm)
+    vn = v if "_nrm" in v.columns else v.withColumn("_nrm", nrm)
     a, b = vn.alias("a"), vn.alias("b")
     dot = F.expr(_DOT.format(a="a.e", b="b.e"))
     cond = F.col("a.vec_id") < F.col("b.vec_id")
@@ -640,7 +705,17 @@ def pipeline_embedding_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup_similarity.py asserts ≥0.9 recall of the exact
     all-pairs duplicate set. Bands come from the band-first constructor,
     so recall can be bought past one machine word of planes (n_bands ×
-    band_bits unbounded) without touching this query."""
+    band_bits unbounded) without touching this query.
+
+    Kept as signature-scan + vec_id join ON MEASUREMENT (r11): computing
+    the bands inline in the projection that carries label/e (one scan,
+    two fewer shuffles) read +57% at sf0.1 and a wash (+0.7%) at the
+    multi-file sf1 clone warehouse — the pair scoring inside the bands
+    dominates end to end, and on the single-file local fixtures the
+    inline form serializes the per-side plane folds into the one-task
+    scan stage that the join form accidentally overlaps across
+    independent stages. Row-identical either way; revisit only with a
+    cluster-scale measurement in hand."""
     e = Catalog(spark, sf_dir).embeddings
     es = scorable(e)  # unscorable vectors are kept, never banded or paired
     banded = banded_hyperplane_signature(

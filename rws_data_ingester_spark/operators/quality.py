@@ -243,7 +243,7 @@ def pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell = (
         F.lit(0).cast("int")
         if cents_np is None
-        else _cell_expr(F.col("e"), cents_np)
+        else _cell_expr("e", cents_np)
     )
     v = scorable(e).select(
         "vec_id", "label", _as_double("embedding").alias("e")

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
-from rws_data_ingester_spark.session import local_frame
+from rws_data_ingester_spark.session import local_frame, shuffle_partitions
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"
 
@@ -184,17 +184,26 @@ def simsearch_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Random-hyperplane LSH — the approximate scale path (rows-only check;
 # recall vs the exact path is asserted in tests/test_similarity.py).
 # --------------------------------------------------------------------------
-def _plane_dot(e_col: F.Column, plane) -> F.Column:
+def _sql_double(x: float) -> str:
+    """One float64 literal as SQL text. repr() is the shortest string
+    that round-trips to the same double under correct rounding, and
+    Java's Double.parseDouble is also correctly rounding, so the parsed
+    literal is bit-identical to the Python value F.lit would ship."""
+    return f"cast('{float(x)!r}' as double)"
+
+
+def _plane_dot_sql(e_name: str, plane) -> str:
     """Fold one hyperplane (a driver-side float row) against an
-    ALREADY-cast float64 array column. Same zip_with/aggregate chain the
-    per-plane form used — only where the float32→float64 cast happens
-    moves (once per row instead of once per plane per row), so the dot
-    value is bit-identical."""
-    plane_lit = F.array(*[F.lit(float(x)) for x in plane])
-    return F.aggregate(
-        F.zip_with(e_col, plane_lit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    ALREADY-cast float64 array column, rendered as SQL TEXT. Same
+    zip_with/aggregate chain (same IEEE fold order → bit-identical dot),
+    but the whole driver-side literal matrix lands in ONE F.expr parse:
+    the Column-API form issued one py4j round trip per F.lit — n_planes ×
+    dim ≈ 1k calls ≈ 1.5 s of pure construction per query invocation
+    (r11 A/B: banded signature construction 1645 → 111 ms)."""
+    arr = "array(" + ", ".join(_sql_double(x) for x in plane) + ")"
+    return (
+        f"aggregate(zip_with({e_name}, {arr}, (x, y) -> x * y),"
+        f" cast(0.0 as double), (acc, x) -> acc + x)"
     )
 
 
@@ -218,7 +227,9 @@ def hyperplane_signature(df: DataFrame, dim: int | None = None, n_planes: int = 
     array n_planes times per row, pure interpreted-HOF overhead since
     every plane folds the same values (r11, guide §1.2 per-task work;
     bit-identical signatures, pinned by the packed-vs-banded equality
-    test).
+    test). The whole signature expression is rendered as SQL text and
+    parsed ONCE (r11, see _plane_dot_sql): the Column-API form paid one
+    py4j round trip per plane-matrix element at construction time.
 
     n_planes is capped at 62: bit i is encoded as +2^i into a signed
     64-bit ``lsh_sig``, so 2^63 would overflow the long. Wider signatures
@@ -229,14 +240,16 @@ def hyperplane_signature(df: DataFrame, dim: int | None = None, n_planes: int = 
         dim = modal_dim(df) or 1
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_planes, dim)
-    sig_bits = [
-        F.when(_plane_dot(F.col("_e"), planes[i]) > 0, F.lit(1)).otherwise(F.lit(0))
-        * (2 ** i)
+    # CASE WHEN dot > 0 THEN 2^i ELSE 0 — long literals, summed then cast:
+    # value-identical to the historical int-bit sum (all fits in 62 bits).
+    bits = " + ".join(
+        f"(case when {_plane_dot_sql('_e', planes[i])} > 0"
+        f" then {2 ** i}L else 0L end)"
         for i in range(n_planes)
-    ]
+    )
     return (
         df.withColumn("_e", _as_double("embedding"))
-        .withColumn("lsh_sig", sum(sig_bits[1:], sig_bits[0]).cast("long"))
+        .withColumn("lsh_sig", F.expr(f"cast({bits} as bigint)"))
         .drop("_e")
     )
 
@@ -273,37 +286,36 @@ def banded_hyperplane_signature(
         df.select("vec_id", _as_double("embedding").alias("_e"))
         .select(
             "vec_id",
-            F.explode(
-                _band_structs(F.col("_e"), planes, n_bands, band_bits)
+            F.expr(
+                f"explode({_band_structs_sql('_e', planes, n_bands, band_bits)})"
             ).alias("band"),
         )
         .select("vec_id", "band.band_id", "band.band_val")
     )
 
 
-def _band_structs(
-    e_col: F.Column, planes, n_bands: int, band_bits: int
-) -> F.Column:
+def _band_structs_sql(
+    e_name: str, planes, n_bands: int, band_bits: int
+) -> str:
     """Array of (band_id, band_val) structs over an ALREADY-cast float64
-    array column — the band assembly of ``banded_hyperplane_signature``,
-    factored out so blocking pipelines can compute bands INLINE in the
-    projection that already carries label/norm (no join back on vec_id)."""
+    array column, as SQL TEXT — the band assembly of
+    ``banded_hyperplane_signature``, factored out so blocking pipelines
+    can compute bands INLINE in the projection that already carries
+    label/norm (no join back on vec_id). Rendered as one parse for the
+    same reason as _plane_dot_sql (construction 1645 → 111 ms, r11);
+    band values are bit-identical to the Column-API form (same fold,
+    same literals — see _sql_double)."""
     bands = []
     for b in range(n_bands):
-        bits = [
-            F.when(
-                _plane_dot(e_col, planes[b * band_bits + i]) > 0,
-                F.lit(2 ** i),
-            ).otherwise(F.lit(0))
+        bits = " + ".join(
+            f"(case when {_plane_dot_sql(e_name, planes[b * band_bits + i])} > 0"
+            f" then {2 ** i}L else 0L end)"
             for i in range(band_bits)
-        ]
-        bands.append(
-            F.struct(
-                F.lit(b).alias("band_id"),
-                sum(bits[1:], bits[0]).cast("long").alias("band_val"),
-            )
         )
-    return F.array(*bands)
+        bands.append(
+            f"struct({b} as band_id, cast({bits} as bigint) as band_val)"
+        )
+    return f"array({', '.join(bands)})"
 
 
 def banded_signature(
@@ -451,7 +463,7 @@ def ivf_index(
         "centroid_id int, centroid array<double>",
     )
     assignments = vecs.select(
-        "vec_id", _cell_expr(F.col("e"), cents_np).alias("centroid_id")
+        "vec_id", _cell_expr("e", cents_np).alias("centroid_id")
     )
     return assignments, cents
 
@@ -486,34 +498,35 @@ def _ivf_fit(
     return _kmeans_np(x, min(n_centroids, len(x)), iters=max_iter, seed=seed), rows
 
 
-def _cell_expr(e_col: F.Column, cents_np) -> F.Column:
+def _cell_expr(e_name: str, cents_np) -> F.Column:
     """Map-side argmin cell assignment against the centroid literals —
-    one int per row, no shuffle, no Python boundary."""
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in cents_np]
+    one int per row, no shuffle, no Python boundary. Rendered as SQL
+    text parsed ONCE (r11): the Column-API form issued one py4j round
+    trip per centroid-matrix element (16 × dim ≈ 1k calls ≈ 0.6 s of
+    construction per invocation; A/B 685 → 64 ms), bit-identical values
+    (same fold order, same literals — see _sql_double). ``e_name`` is
+    the SQL identifier of the ALREADY-cast float64 array column."""
+    cent_lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_sql_double(v) for v in c) + ")"
+            for c in cents_np
+        )
+        + ")"
     )
-
-    def _argmin_cell(e: F.Column) -> F.Column:
-        # struct(d, i): array_min compares distance first, index second —
-        # ties break to the lowest cell id, a total deterministic order.
-        return F.array_min(
-            F.transform(
-                cent_lit,
-                lambda c, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(c, e, lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0),
-                        lambda acc, v: acc + v,
-                    ).alias("d"),
-                    i.alias("i"),
-                ),
-            )
-        )["i"]
-
+    # struct(d, i): array_min compares distance first, index second —
+    # ties break to the lowest cell id, a total deterministic order.
+    argmin = (
+        f"array_min(transform({cent_lit}, (c, i) -> struct("
+        f"aggregate(zip_with(c, x, (a, b) -> (a - b) * (a - b)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v) as d, i as i)))['i']"
+    )
     # single-element transform(array(e), ...) wrapper: the embedding is
     # materialized once per row instead of re-read per centroid element
     # (the SCALE.md outer-column-in-HOF rule).
-    return F.element_at(F.transform(F.array(e_col), _argmin_cell), 1).cast("int")
+    return F.expr(
+        f"cast(element_at(transform(array({e_name}), x -> {argmin}), 1) as int)"
+    )
 
 
 @query("simsearch_topk_ivf", oracle=None)  # approx (kmeans-dependent) → rows-only
@@ -673,9 +686,27 @@ def embedding_dup_ids(
     2.6 s noop at sf0.1 on the k-means-cell blocking (r10 A/B). A caller
     whose blocking EXPLODES rows (LSH bands: ×n_bands rows per vector)
     can pass ``_nrm`` pre-folded per VECTOR, before its explode — the
-    same value this would compute, one fold earlier (r11)."""
+    same value this would compute, one fold earlier (r11).
+
+    The frame is repartitioned on the BLOCK KEY before the self-join
+    (r11, guide §2.2/§2.6): on a single-file fixture the scan is one
+    task, the small side broadcasts, and the O(Σ|block|²) pair scoring —
+    the dominant compute — runs on ONE core. Hash-distributing the rows
+    by block spreads the scoring across the cluster; placement cannot
+    change which pairs form (the build side is broadcast locally, and at
+    100 TB — where neither side broadcasts — HashPartitioning on exactly
+    the join's equi-keys is REUSED by the sort-merge join, so this adds
+    no exchange at scale; it materializes the one the local broadcast
+    plan elides). Partition count comes from spark.sql.shuffle.partitions
+    (the session's scale knob: local[N] benches set it to the core
+    count, production tunes it), pinned explicitly so AQE cannot
+    coalesce the deliberately tiny local shuffle back onto one core.
+    Interleaved noop A/B at sf0.1: LSH-band blocking −42.5% (4.40 →
+    2.53 s, 7/7), k-means-cell blocking −45.3% (3.12 → 1.71 s, 7/7),
+    rows identical."""
     nrm = F.sqrt(F.expr(_DOT.format(a="e", b="e")))
     vn = v if "_nrm" in v.columns else v.withColumn("_nrm", nrm)
+    vn = vn.repartition(shuffle_partitions(v.sparkSession), *block_cols)
     a, b = vn.alias("a"), vn.alias("b")
     dot = F.expr(_DOT.format(a="a.e", b="b.e"))
     cond = F.col("a.vec_id") < F.col("b.vec_id")

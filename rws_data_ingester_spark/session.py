@@ -74,6 +74,20 @@ def get_spark(
     return spark
 
 
+def shuffle_partitions(spark: SparkSession) -> int:
+    """The session's shuffle-partition count as an int — the scale knob
+    operators use when they pin an EXPLICIT partition count into a
+    repartition() (an explicit count is exempt from AQE coalescing,
+    which is the point: a deliberately tiny local shuffle that exists to
+    spread heavy downstream compute would otherwise be coalesced back
+    onto one core). local[N] sessions set it to the core count
+    ($SPARK_GRAFT_CPUS); production overrides it via extra_conf."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" or unset on exotic builds
+        return spark.sparkContext.defaultParallelism
+
+
 def local_frame(spark: SparkSession, rows, schema):
     """Small driver-side row list → DataFrame planned as a LocalRelation.
 

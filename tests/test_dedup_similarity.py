@@ -302,3 +302,54 @@ def test_minhash_sql_shingles_match_shingles(spark):
     ).collect()
     for r in both:
         assert r["col_form"] == r["sql_form"], r
+
+
+def test_sql_double_literal_roundtrips_exactly(spark):
+    """r11 regression pin: the SQL-text literal renderer behind the
+    one-parse plane/centroid matrices (_sql_double) must parse to the
+    EXACT double F.lit would ship — repr() round-trips and Java's
+    Double.parseDouble is correctly rounding, so any divergence here
+    means signatures/cell ids silently drift from the Column-API form."""
+    from rws_data_ingester_spark.operators.similarity import _sql_double
+
+    torture = [
+        0.0, -0.0, 1.0, -1.0, 1/3, -1/3, 1e-300, -1e-300, 1e300,
+        5e-324, 1.7976931348623157e308, 0.1, 2.225073858507e-308,
+        -123456.789e-12, 9007199254740993.0,
+    ]
+    exprs = []
+    for i, x in enumerate(torture):
+        # bitwise compare via double→long bits twin columns
+        exprs.append(
+            F.expr(_sql_double(x)).alias(f"sql_{i}")
+        )
+        exprs.append(F.lit(float(x)).alias(f"lit_{i}"))
+    row = spark.range(1).select(*exprs).collect()[0]
+    import struct
+
+    for i, x in enumerate(torture):
+        a, b = row[f"sql_{i}"], row[f"lit_{i}"]
+        assert struct.pack("d", a) == struct.pack("d", b), (x, a, b)
+
+
+def test_embedding_dup_ids_repartitions_on_block_key(spark):
+    """r11 regression pin: the pair-scoring self-join must spread its
+    probe side by the BLOCK key (explicit hashpartitioning, exempt from
+    AQE coalescing) — on single-file corpora the scan is one task and
+    the O(Σ|block|²) scoring otherwise runs on one core (−42..45% noop
+    A/B at sf0.1). The partitioning must be on exactly the join's
+    equi-keys so a sort-merge join at cluster scale REUSES the exchange
+    instead of adding one."""
+    from rws_data_ingester_spark.operators.similarity import (
+        _as_double,
+        embedding_dup_ids,
+        scorable,
+    )
+    from rws_data_ingester_spark.catalog import Catalog
+
+    e = Catalog(spark, SF_DIR).embeddings
+    v = scorable(e).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    plan = embedding_dup_ids(v, ["label"])._jdf.queryExecution().toString()
+    assert "hashpartitioning(label" in plan, plan[:2000]

@@ -810,6 +810,13 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_nrm",
         F.sqrt(F.expr("aggregate(zip_with(e, e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")),
     )
+    # spread the O(Σ|label-block|²) pair scoring by the block key — see
+    # embedding_dup_ids (r11): single-file scans are one task and the
+    # scoring one core otherwise; partitioning on the join's equi-key is
+    # reused by a sort-merge join at cluster scale. Placement-only: the
+    # ≥0.9 filter is row-local and the output is count aggregates, rows
+    # verified identical at sf0.001/0.01/0.1 + oracle green.
+    v = v.repartition(shuffle_partitions(spark), "label")
     a, b = v.alias("a"), v.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"

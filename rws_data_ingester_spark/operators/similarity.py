@@ -29,13 +29,21 @@ def _as_double(col: str) -> F.Column:
     return F.expr(f"transform({col}, x -> cast(x as double))")
 
 
+# One SQL parse instead of the Column/lambda form (r11): the exists()
+# higher-order builder alone cost ~10 py4j round trips per call and
+# scorable() is constructed 1-2x per similarity query per invocation
+# (~0.13 s of pure driver time each, measured by cProfile on
+# simsearch_topk_exact). Identical predicate -> identical plan.
+_FINITE_PRED = (
+    "embedding IS NOT NULL AND NOT exists(embedding,"
+    " x -> isnan(x) OR abs(x) = cast('Infinity' as double))"
+)
+
+
 def _finite_vectors(df: DataFrame) -> DataFrame:
     """NULL embeddings and embeddings with NaN/±Inf components dropped —
     the value half of the scorable() contract."""
-    bad = F.exists(
-        "embedding", lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
-    )
-    return df.filter(F.col("embedding").isNotNull() & ~bad)
+    return df.filter(F.expr(_FINITE_PRED))
 
 
 # modal_dim results keyed by DataFrame.semanticHash(): one dim-discovery
@@ -91,11 +99,13 @@ def scorable(df: DataFrame, dim: int | None = None) -> DataFrame:
     twin is `embedding IS NOT NULL AND len(list_filter(embedding,
     x -> isnan(x) OR isinf(x))) = 0 AND len(embedding) = (SELECT
     len(embedding) ... GROUP BY 1 ORDER BY COUNT(*) DESC, 1 LIMIT 1)`."""
-    ok = _finite_vectors(df)
     d = modal_dim(df) if dim is None else dim
     if d is None:  # no finite vectors at all — empty frame, same schema
-        return ok.filter(F.lit(False))
-    return ok.filter(F.size("embedding") == F.lit(d))
+        return _finite_vectors(df).filter(F.lit(False))
+    # one combined filter = one Dataset construction (each PySpark
+    # transformation is an eager JVM analysis pass); Catalyst merged the
+    # two-filter form into this exact conjunction anyway
+    return df.filter(F.expr(f"{_FINITE_PRED} AND size(embedding) = {int(d)}"))
 
 
 def cosine_topk(

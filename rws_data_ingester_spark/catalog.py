@@ -10,6 +10,7 @@ works over a partitioned directory tree (dt=.../ partitioning) unchanged.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -48,6 +49,27 @@ _SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
 # removes the shuffle on the fact side entirely.
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
+# DataFrame HANDLE cache, session -> {absolute path: DataFrame} (r11).
+# One rung above the schema cache: even with the schema passed
+# explicitly, every ``spark.read.schema(s).parquet(path)`` costs a
+# DataFrameReader round-trip chain plus a fresh relation resolution
+# (file listing) on the JVM — ~40-50 ms per table per query invocation,
+# ~0.3 s of a 6-table composite's construction at sf0.1. A DataFrame is
+# an immutable logical-plan HANDLE, not data: serving the same handle is
+# exactly what ``spark.table`` does against a catalog's cached relation,
+# every downstream operator builds a new plan on top of it, and every
+# action still reads the parquet files from disk — no rows, no results,
+# nothing keyed on fixture CONTENT is stored. WeakKeyDictionary on the
+# SparkSession: a stopped/garbage-collected session drops its handles,
+# and handles can never leak across sessions (a Dataset is bound to the
+# session that created it). Same staleness caveat as the schema cache,
+# documented there: rewriting files under the SAME path mid-session
+# serves a handle whose resolved file list may predate the rewrite
+# (fixture dirs are static within a session; tests use fresh tmp dirs).
+_DF_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -67,6 +89,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # it per-load like the TZ, not only in the session factory.
     spark.conf.set("spark.sql.ansi.enabled", "true")
     path = os.path.abspath(os.path.join(sf_dir, f"{name}.parquet"))
+    per_session = _DF_CACHE.setdefault(spark, {})
+    cached = per_session.get(path)
+    if cached is not None:
+        return cached
     key = (spark.sparkContext.applicationId, path)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
@@ -76,6 +102,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
+    per_session[path] = df
     return df
 
 

@@ -24,7 +24,6 @@ from pyspark.sql.window import Window as W
 from rws_data_ingester_spark.catalog import Catalog
 from rws_data_ingester_spark.functions.rounding import pround
 from rws_data_ingester_spark.plans.registry import query
-from rws_data_ingester_spark.session import shuffle_partitions
 
 
 # --------------------------------------------------------------------------
@@ -512,7 +511,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup statistics per label block. Blocking on `label`
     stands in for the IVF/LSH bucket a production run would use — the
     crossJoin never leaves a block."""
-    from rws_data_ingester_spark.operators.similarity import scorable
+    from rws_data_ingester_spark.operators.similarity import (
+        _spread_pair_frame,
+        scorable,
+    )
 
     e = Catalog(spark, sf_dir).embeddings
     # Unscorable embeddings (NULL / NaN / Inf) never form pairs on either
@@ -526,14 +528,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_nrm",
         F.sqrt(F.expr("aggregate(zip_with(e, e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")),
     )
-    # spread the O(Σ|label-block|²) pair scoring by the block key — the
-    # single-file scan is otherwise ONE task and the scoring one core;
-    # partitioning on the join's equi-key is reused by a sort-merge join
-    # at cluster scale (see similarity.embedding_dup_ids, r11). The final
-    # per-label AVG re-shuffles by label anyway, so partial-agg order (and
-    # the rounded avg_sim) is unchanged — verified by sorted collect +
-    # oracle at sf0.1/sf0.01.
-    v = v.repartition(shuffle_partitions(spark), "label")
+    # spread the O(Σ|label-block|²) pair scoring across the cluster in
+    # the broadcast regime — see similarity._spread_pair_frame (r11).
+    # The final per-label AVG re-aggregates after its own exchange, and
+    # the rounded avg_sim was verified by sorted collect + oracle at
+    # sf0.001/0.01/0.1.
+    v = _spread_pair_frame(v)
     a, b = v.alias("a"), v.alias("b")
     dot = F.expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")
     pairs = a.join(

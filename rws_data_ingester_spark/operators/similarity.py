@@ -13,6 +13,9 @@ storage type so results are engine-comparable.
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -683,6 +686,69 @@ def simsearch_topk_exact_np(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_np(e.filter(F.col("vec_id") < 10), e, k=5)
 
 
+# Input size up to which the pair-scoring self-join gets an explicit
+# uniform spread (below, the join broadcasts and plans NO exchange of
+# its own; above, the sort-merge join plans its own ENSURE_REQUIREMENTS
+# exchanges and AQE's skew-join splitting manages hot blocks — adding a
+# non-join-key exchange there would be a second full shuffle of the
+# vectors). 64 MiB matches session.py's autoBroadcastJoinThreshold, the
+# knob that decides the same regime; production tunes both together.
+_PAIR_SPREAD_MAX_BYTES_ENV = "SPARK_GRAFT_PAIR_SPREAD_MAX_BYTES"
+_PAIR_SPREAD_MAX_BYTES_DEFAULT = 64 * 1024**2
+
+
+def _spread_pair_frame(vn: DataFrame) -> DataFrame:
+    """Spread a pair-scoring frame across the cluster in the
+    BROADCAST-JOIN regime (r11, guide §2.5/§2.6).
+
+    The embedding near-dup pipelines score O(Σ|block|²) pairs through a
+    self-join on a block key (LSH bands / k-means cells / labels). While
+    the corpus fits the broadcast threshold the planner builds one side
+    as a broadcast relation and probes the other IN PLACE — on few-file
+    corpora that is one or a handful of scan tasks carrying ALL of the
+    dominant compute. Placement of the probe side is free under a
+    broadcast join (it cannot change which pairs form), so spread it by
+    a deterministic uniform synthetic key: ``pmod(xxhash64(vec_id),
+    64·N)`` — 64× more key values than partitions so the hash spreads
+    evenly (guide §2.5), deterministic so task retries reproduce the
+    same placement, and UNIFORM, which beats partitioning by the block
+    key itself: a 16-cell k-means blocking hash-splits lumpily and its
+    hot cells pile onto few tasks (measured +31% vs plain at the
+    multi-file sf1 clone), while row-uniform placement balances the
+    per-task pair work by construction (measured −52% vs plain at sf1
+    and −57% at sf0.1 on the banded blocking; −53%/−56% on the cell
+    blocking).
+
+    SIZE-GATED off in the sort-merge regime: above the gate the join
+    plans its own exchanges on the block key (where AQE skew-splitting
+    applies) and a non-join-key repartition would add a second full
+    shuffle of the vector payload. The gate is a driver-side metadata
+    stat of the frame's input files (no Spark job, same idiom as the
+    sessionization shard gate); unknown/exotic sources fail TOWARD the
+    scale-safe plain plan."""
+    try:
+        gate = int(
+            os.environ.get(
+                _PAIR_SPREAD_MAX_BYTES_ENV, _PAIR_SPREAD_MAX_BYTES_DEFAULT
+            )
+        )
+    except ValueError:
+        gate = _PAIR_SPREAD_MAX_BYTES_DEFAULT
+    if gate <= 0:
+        return vn
+    try:
+        files = vn.inputFiles()
+        size = sum(
+            os.path.getsize(urlparse(uri).path or uri) for uri in files
+        )
+    except Exception:
+        return vn
+    if not files or size > gate:
+        return vn
+    n = shuffle_partitions(vn.sparkSession)
+    return vn.repartition(n, F.pmod(F.xxhash64("vec_id"), F.lit(n * 64)))
+
+
 def embedding_dup_ids(
     v: DataFrame, block_cols: list[str], threshold: float = 0.9
 ) -> DataFrame:
@@ -698,25 +764,14 @@ def embedding_dup_ids(
     can pass ``_nrm`` pre-folded per VECTOR, before its explode — the
     same value this would compute, one fold earlier (r11).
 
-    The frame is repartitioned on the BLOCK KEY before the self-join
-    (r11, guide §2.2/§2.6): on a single-file fixture the scan is one
-    task, the small side broadcasts, and the O(Σ|block|²) pair scoring —
-    the dominant compute — runs on ONE core. Hash-distributing the rows
-    by block spreads the scoring across the cluster; placement cannot
-    change which pairs form (the build side is broadcast locally, and at
-    100 TB — where neither side broadcasts — HashPartitioning on exactly
-    the join's equi-keys is REUSED by the sort-merge join, so this adds
-    no exchange at scale; it materializes the one the local broadcast
-    plan elides). Partition count comes from spark.sql.shuffle.partitions
-    (the session's scale knob: local[N] benches set it to the core
-    count, production tunes it), pinned explicitly so AQE cannot
-    coalesce the deliberately tiny local shuffle back onto one core.
-    Interleaved noop A/B at sf0.1: LSH-band blocking −42.5% (4.40 →
-    2.53 s, 7/7), k-means-cell blocking −45.3% (3.12 → 1.71 s, 7/7),
-    rows identical."""
+    In the broadcast-join regime the frame is spread by a uniform
+    synthetic key before the self-join — see ``_spread_pair_frame``
+    (r11): otherwise the O(Σ|block|²) pair scoring, the dominant
+    compute, runs on however few tasks the scan happened to produce.
+    Placement-only (the build side is broadcast), rows identical."""
     nrm = F.sqrt(F.expr(_DOT.format(a="e", b="e")))
     vn = v if "_nrm" in v.columns else v.withColumn("_nrm", nrm)
-    vn = vn.repartition(shuffle_partitions(v.sparkSession), *block_cols)
+    vn = _spread_pair_frame(vn)
     a, b = vn.alias("a"), vn.alias("b")
     dot = F.expr(_DOT.format(a="a.e", b="b.e"))
     cond = F.col("a.vec_id") < F.col("b.vec_id")
@@ -820,13 +875,12 @@ def pipeline_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_nrm",
         F.sqrt(F.expr("aggregate(zip_with(e, e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)")),
     )
-    # spread the O(Σ|label-block|²) pair scoring by the block key — see
-    # embedding_dup_ids (r11): single-file scans are one task and the
-    # scoring one core otherwise; partitioning on the join's equi-key is
-    # reused by a sort-merge join at cluster scale. Placement-only: the
-    # ≥0.9 filter is row-local and the output is count aggregates, rows
-    # verified identical at sf0.001/0.01/0.1 + oracle green.
-    v = v.repartition(shuffle_partitions(spark), "label")
+    # spread the O(Σ|label-block|²) pair scoring across the cluster in
+    # the broadcast regime — see _spread_pair_frame (r11). Placement-
+    # only: the ≥0.9 filter is row-local and the output is count
+    # aggregates, rows verified identical at sf0.001/0.01/0.1 + oracle
+    # green.
+    v = _spread_pair_frame(v)
     a, b = v.alias("a"), v.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)"

@@ -332,14 +332,17 @@ def test_sql_double_literal_roundtrips_exactly(spark):
         assert struct.pack("d", a) == struct.pack("d", b), (x, a, b)
 
 
-def test_embedding_dup_ids_repartitions_on_block_key(spark):
-    """r11 regression pin: the pair-scoring self-join must spread its
-    probe side by the BLOCK key (explicit hashpartitioning, exempt from
-    AQE coalescing) — on single-file corpora the scan is one task and
-    the O(Σ|block|²) scoring otherwise runs on one core (−42..45% noop
-    A/B at sf0.1). The partitioning must be on exactly the join's
-    equi-keys so a sort-merge join at cluster scale REUSES the exchange
-    instead of adding one."""
+def test_embedding_dup_ids_spreads_pair_scoring_below_gate(spark, monkeypatch):
+    """r11 regression pin: in the broadcast-join regime (input below
+    $SPARK_GRAFT_PAIR_SPREAD_MAX_BYTES) the pair-scoring self-join must
+    spread its frame by the uniform synthetic key pmod(xxhash64(vec_id),
+    64·N) — on few-file corpora the scan is one or few tasks and the
+    O(Σ|block|²) scoring otherwise runs on one core (−52..57% noop A/B
+    at sf0.1 AND the multi-file sf1 clone; partitioning by the block key
+    itself measured WORSE than plain at sf1 on the 16-cell blocking —
+    hot cells pile onto few tasks). Above the gate the plain plan must
+    come back: the sort-merge join plans its own block-key exchanges
+    there and AQE skew-splitting manages hot blocks."""
     from rws_data_ingester_spark.operators.similarity import (
         _as_double,
         embedding_dup_ids,
@@ -352,4 +355,8 @@ def test_embedding_dup_ids_repartitions_on_block_key(spark):
         "vec_id", "label", _as_double("embedding").alias("e")
     )
     plan = embedding_dup_ids(v, ["label"])._jdf.queryExecution().toString()
-    assert "hashpartitioning(label" in plan, plan[:2000]
+    assert "xxhash64(vec_id" in plan and "REPARTITION_BY_NUM" in plan, plan[:2000]
+
+    monkeypatch.setenv("SPARK_GRAFT_PAIR_SPREAD_MAX_BYTES", "1")
+    plan_above = embedding_dup_ids(v, ["label"])._jdf.queryExecution().toString()
+    assert "REPARTITION_BY_NUM" not in plan_above, plan_above[:2000]
